@@ -1,0 +1,221 @@
+"""Functional neural-net primitives (channels-last, TPU layouts).
+
+Pure ``init_*``/apply function pairs over explicit param pytrees.  All
+video tensors are NDHWC ``[N, T, H, W, C]`` — XLA's preferred layout for
+TPU convolutions — in contrast to the reference's NCDHW torch layout.
+
+BatchNorm reproduces both PyTorch semantics the reference relies on:
+  * ``track_running_stats=False`` (DPC pretrain, ``dpc/model_3d.py:28``):
+    normalise by *batch* statistics always, even in eval;
+  * ``track_running_stats=True`` (LC eval, ``eval/model_3d_lc.py:26-28``):
+    EMA running stats (momentum 0.1, unbiased var in the EMA, biased var in
+    the normalisation — exact torch behaviour), eval uses running stats.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = dict[str, Any]
+
+CONV3D_DIMNUMS = ("NDHWC", "DHWIO", "NDHWC")
+CONV2D_DIMNUMS = ("NHWC", "HWIO", "NHWC")
+
+
+# ---------------------------------------------------------------------------
+# Initialisers (parity with the reference's policies)
+# ---------------------------------------------------------------------------
+
+def kaiming_normal_fan_out(key: jax.Array, shape: tuple[int, ...],
+                           dtype=jnp.float32) -> jax.Array:
+    """He-normal with fan_out, matching ``nn.init.kaiming_normal_(mode='fan_out')``
+    used for every backbone conv (``backbone/resnet_2d3d.py:226``).
+
+    For a conv weight ``[*kernel, in, out]``, fan_out = out · prod(kernel).
+    """
+    receptive = int(np.prod(shape[:-2])) if len(shape) > 2 else 1
+    fan_out = shape[-1] * receptive
+    std = float(np.sqrt(2.0 / fan_out))
+    return jax.random.normal(key, shape, dtype) * std
+
+
+def orthogonal_init(key: jax.Array, shape: tuple[int, ...],
+                    dtype=jnp.float32) -> jax.Array:
+    """Orthogonal init over the (flattened-input, output) matrix view,
+    matching ``nn.init.orthogonal_`` on conv weights: torch flattens
+    dims 1.. of an OIHW weight, i.e. rows=O, cols=I·prod(k).
+
+    Our layout is ``[*kernel, in, out]`` so the matrix view is
+    (out, in·prod(kernel)); we generate torch's matrix then scatter back.
+    """
+    out_ch = shape[-1]
+    fan_in = int(np.prod(shape[:-1]))
+    rows, cols = out_ch, fan_in
+    big, small = max(rows, cols), min(rows, cols)
+    a = jax.random.normal(key, (big, small), jnp.float32)
+    q, r = jnp.linalg.qr(a)
+    q = q * jnp.sign(jnp.diagonal(r))
+    if rows < cols:
+        q = q.T
+    w = q.reshape(out_ch, *shape[:-1])  # torch-style (O, k..., I) view
+    # (O, kt.., I) -> (kernel..., I, O)
+    perm = tuple(range(1, len(shape))) + (0,)
+    return jnp.transpose(w, perm).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Convolutions
+# ---------------------------------------------------------------------------
+
+def init_conv3d(key: jax.Array, in_ch: int, out_ch: int,
+                kernel: tuple[int, int, int], bias: bool = False,
+                init=kaiming_normal_fan_out) -> Params:
+    p: Params = {"w": init(key, (*kernel, in_ch, out_ch))}
+    if bias:
+        p["b"] = jnp.zeros((out_ch,), jnp.float32)
+    return p
+
+
+def conv3d(p: Params, x: jax.Array, stride: tuple[int, int, int],
+           padding: tuple[int, int, int], dtype=None) -> jax.Array:
+    """3-D convolution, NDHWC × DHWIO.  Explicit symmetric padding matches
+    torch's floor-mode output sizes exactly."""
+    w = p["w"]
+    if dtype is not None:
+        x, w = x.astype(dtype), w.astype(dtype)
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=stride,
+        padding=[(padding[0],) * 2, (padding[1],) * 2, (padding[2],) * 2],
+        dimension_numbers=CONV3D_DIMNUMS)
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y
+
+
+def init_conv2d(key: jax.Array, in_ch: int, out_ch: int, kernel: int,
+                bias: bool = True, init=orthogonal_init) -> Params:
+    p: Params = {"w": init(key, (kernel, kernel, in_ch, out_ch))}
+    if bias:
+        p["b"] = jnp.zeros((out_ch,), jnp.float32)
+    return p
+
+
+def conv2d(p: Params, x: jax.Array, stride: int = 1,
+           padding: int = 0, dtype=None) -> jax.Array:
+    w = p["w"]
+    if dtype is not None:
+        x, w = x.astype(dtype), w.astype(dtype)
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(stride, stride),
+        padding=[(padding,) * 2, (padding,) * 2],
+        dimension_numbers=CONV2D_DIMNUMS)
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Normalisation
+# ---------------------------------------------------------------------------
+
+def init_batchnorm(ch: int, track_running_stats: bool) -> tuple[Params, Optional[Params]]:
+    params = {"scale": jnp.ones((ch,), jnp.float32),
+              "bias": jnp.zeros((ch,), jnp.float32)}
+    state = ({"mean": jnp.zeros((ch,), jnp.float32),
+              "var": jnp.ones((ch,), jnp.float32)}
+             if track_running_stats else None)
+    return params, state
+
+
+def batchnorm(p: Params, state: Optional[Params], x: jax.Array, *,
+              train: bool, momentum: float = 0.1, eps: float = 1e-5,
+              axis_name: Optional[str] = None
+              ) -> tuple[jax.Array, Optional[Params]]:
+    """BatchNorm over all axes but the last (channel) axis.
+
+    ``state is None`` ⇒ torch ``track_running_stats=False``: batch stats in
+    both train and eval.  Otherwise torch default: train normalises by batch
+    stats and EMA-updates running stats (unbiased var in the EMA); eval
+    normalises by running stats.  ``axis_name`` enables cross-replica stats
+    (an opt-in improvement — the reference's DataParallel BN is per-replica).
+    """
+    orig_dtype = x.dtype
+    # promote (never downcast): bf16 activations normalise in f32, f64
+    # parity tests stay f64
+    xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
+    reduce_axes = tuple(range(xf.ndim - 1))
+
+    if state is None or train:
+        mean = jnp.mean(xf, axis=reduce_axes)
+        if axis_name is not None:
+            mean = jax.lax.pmean(mean, axis_name)
+        # two-pass variance: numerically stable (E[x²]−E[x]² drifts visibly
+        # through the 50+ chained batch-stat BNs of the bottleneck nets)
+        var = jnp.mean(jnp.square(xf - mean), axis=reduce_axes)
+        if axis_name is not None:
+            var = jax.lax.pmean(var, axis_name)
+        new_state = state
+        if state is not None and train:
+            count = float(np.prod([xf.shape[a] for a in reduce_axes]))
+            unbiased = var * (count / max(count - 1.0, 1.0))
+            new_state = {
+                "mean": (1 - momentum) * state["mean"] + momentum * mean,
+                "var": (1 - momentum) * state["var"] + momentum * unbiased,
+            }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+
+    inv = jax.lax.rsqrt(var + eps) * p["scale"]
+    y = (xf - mean) * inv + p["bias"]
+    return y.astype(orig_dtype), new_state
+
+
+def init_batchnorm1d(ch: int) -> tuple[Params, Params]:
+    return init_batchnorm(ch, track_running_stats=True)
+
+
+# ---------------------------------------------------------------------------
+# Pooling / misc
+# ---------------------------------------------------------------------------
+
+def maxpool3d(x: jax.Array, kernel: tuple[int, int, int],
+              stride: tuple[int, int, int],
+              padding: tuple[int, int, int]) -> jax.Array:
+    """Max pool over (T, H, W) of NDHWC, torch floor-mode sizes, −inf pads."""
+    neg = jnp.asarray(-jnp.inf, x.dtype) if jnp.issubdtype(x.dtype, jnp.floating) \
+        else jnp.iinfo(x.dtype).min
+    dims = (1, *kernel, 1)
+    strides = (1, *stride, 1)
+    pads = ((0, 0), (padding[0],) * 2, (padding[1],) * 2, (padding[2],) * 2,
+            (0, 0))
+    return jax.lax.reduce_window(x, neg, jax.lax.max, dims, strides, pads)
+
+
+def init_dense(key: jax.Array, in_ch: int, out_ch: int,
+               init=None) -> Params:
+    """torch nn.Linear default init: U(−1/√fan_in, 1/√fan_in) for w and b."""
+    bound = 1.0 / np.sqrt(in_ch)
+    kw, kb = jax.random.split(key)
+    return {"w": jax.random.uniform(kw, (in_ch, out_ch), jnp.float32,
+                                    -bound, bound),
+            "b": jax.random.uniform(kb, (out_ch,), jnp.float32, -bound, bound)}
+
+
+def dense(p: Params, x: jax.Array) -> jax.Array:
+    return jnp.dot(x, p["w"].astype(x.dtype),
+                   preferred_element_type=jnp.float32).astype(x.dtype) \
+        + p["b"].astype(x.dtype)
+
+
+def dropout(key: jax.Array, x: jax.Array, rate: float, train: bool) -> jax.Array:
+    """Inverted dropout (torch semantics: scale by 1/(1−p) at train time)."""
+    if not train or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
