@@ -1,0 +1,124 @@
+"""Checkpoint save / resume / transfer-load.
+
+Capability parity with the reference (SURVEY §5 "Checkpoint / resume"):
+  * rolling latest + single best retention (``utils/utils.py:14-26``) via an
+    Orbax ``CheckpointManager``;
+  * payload {params, opt_state, step, epoch, best_acc, and BN state when
+    tracked} (``dpc/main.py:168-174``);
+  * resume restores optimizer state unless the caller resets the LR
+    (``--reset_lr``, ``dpc/main.py:97-99``);
+  * transfer loading from a *different* model (DPC → LC) by pytree-path
+    intersection — our ``neq_load_customized`` equivalent — plus direct
+    ingest of reference ``.pth.tar`` files via
+    :mod:`dpc_tpu.utils.torch_compat`.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from dpc_tpu.utils import torch_compat as tc
+
+
+def make_manager(directory: str, max_to_keep: int = 1,
+                 keep_best: bool = True) -> ocp.CheckpointManager:
+    """Rolling-latest (+ best) checkpoint manager."""
+    directory = os.path.abspath(directory)
+    os.makedirs(directory, exist_ok=True)
+    options = ocp.CheckpointManagerOptions(
+        max_to_keep=max_to_keep + (1 if keep_best else 0),
+        best_fn=(lambda m: m.get("val_acc", 0.0)) if keep_best else None,
+        best_mode="max" if keep_best else None,
+        keep_checkpoints_without_metrics=True,
+    )
+    return ocp.CheckpointManager(directory, options=options)
+
+
+def save(mgr: ocp.CheckpointManager, epoch: int, payload: Any,
+         metrics: Optional[dict] = None) -> None:
+    """Save a checkpoint for ``epoch`` (blocking)."""
+    mgr.save(epoch, args=ocp.args.StandardSave(payload),
+             metrics={k: float(v) for k, v in (metrics or {}).items()})
+    mgr.wait_until_finished()
+
+
+def restore_latest(mgr: ocp.CheckpointManager, template: Any
+                   ) -> tuple[Optional[int], Any]:
+    """Restore the newest checkpoint into ``template``'s structure.
+
+    Returns (epoch, payload) or (None, template) when nothing is saved.
+    """
+    step = mgr.latest_step()
+    if step is None:
+        return None, template
+    payload = mgr.restore(step, args=ocp.args.StandardRestore(template))
+    return step, payload
+
+
+def restore_best(mgr: ocp.CheckpointManager, template: Any
+                 ) -> tuple[Optional[int], Any]:
+    step = mgr.best_step()
+    if step is None:
+        return restore_latest(mgr, template)
+    return step, mgr.restore(step, args=ocp.args.StandardRestore(template))
+
+
+# ---------------------------------------------------------------------------
+# Transfer loading (our neq_load_customized)
+# ---------------------------------------------------------------------------
+
+def transfer_load(target: Any, source: Any, verbose: bool = True) -> Any:
+    """Path-intersection load: copy every leaf whose flattened path exists
+    in both trees with a matching shape; report the rest.
+
+    The cross-model transfer mechanism (DPC pretrain → LC finetune), same
+    contract as ``neq_load_customized`` (``backbone/resnet_2d3d.py:310-333``).
+    """
+    tgt_flat = tc.flatten_pytree(target)
+    src_flat = tc.flatten_pytree(source)
+    loaded, skipped_shape = [], []
+    import jax.numpy as jnp
+
+    for path, val in src_flat.items():
+        if path in tgt_flat:
+            if tgt_flat[path].shape == val.shape:
+                tc.set_in_pytree(target, path, jnp.asarray(val))
+                loaded.append(path)
+            else:
+                skipped_shape.append(path)
+    unused = [p for p in src_flat if p not in tgt_flat]
+    missing = [p for p in tgt_flat if p not in src_flat]
+    if verbose:
+        print(f"[transfer_load] loaded {len(loaded)} tensors; "
+              f"{len(unused)} unused; {len(missing)} not-loaded; "
+              f"{len(skipped_shape)} shape-mismatched")
+        for p in unused:
+            print("  unused:", p)
+        for p in missing:
+            print("  missing:", p)
+        for p in skipped_shape:
+            print("  shape-mismatch:", p)
+    return target
+
+
+def load_pretrained(path: str, params: Any, key_map_fn,
+                    verbose: bool = True) -> Any:
+    """Load pretrained weights from either a reference ``.pth.tar`` torch
+    checkpoint or one of our Orbax run directories (``--pretrain`` behaviour,
+    ``dpc/main.py:104-112`` / ``eval/test.py:149-158``)."""
+    if path.endswith((".pth", ".pth.tar", ".tar", ".pt")):
+        params, _ = tc.load_reference_checkpoint(
+            path, params, key_map_fn(params), verbose=verbose)
+        return params
+    mgr = make_manager(path)
+    step = mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint under {path}")
+    src = mgr.restore(step)
+    src_params = src.get("params", src) if isinstance(src, dict) else src
+    return transfer_load(params, src_params, verbose=verbose)

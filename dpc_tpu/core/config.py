@@ -145,11 +145,14 @@ class EvalConfig:
     batch_size: int = 4
     print_freq: int = 5
     # LR schedule: multi-step decay with restart multiplier
-    # (reference MultiStepLR_Restart_Multiplier, eval/test.py:408-420)
-    lr_milestones: Sequence[int] = (60, 80)
+    # (reference MultiStepLR_Restart_Multiplier, eval/test.py:408-420;
+    # canonical sets at eval/test.py:94-98)
+    lr_milestones: Sequence[int] = (60, 80, 100)
     lr_gamma: float = 0.1
-    lr_step_repeat: int = 1
-    backbone_lr_scale: float = 0.1   # backbone+GRU at lr/10 for ft (eval/test.py:76-83)
+    lr_repeat: int = 1
+    # backbone+GRU at lr/10 for ft — the reference's *intent*
+    # (eval/test.py:76-83; latent no-op there, see train/optim.py)
+    backbone_lr_scale: float = 0.1
 
 
 @dataclasses.dataclass(frozen=True)

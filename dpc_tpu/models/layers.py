@@ -186,14 +186,35 @@ def init_batchnorm1d(ch: int) -> tuple[Params, Params]:
 def maxpool3d(x: jax.Array, kernel: tuple[int, int, int],
               stride: tuple[int, int, int],
               padding: tuple[int, int, int]) -> jax.Array:
-    """Max pool over (T, H, W) of NDHWC, torch floor-mode sizes, −inf pads."""
-    neg = jnp.asarray(-jnp.inf, x.dtype) if jnp.issubdtype(x.dtype, jnp.floating) \
+    """Max pool over (T, H, W) of NDHWC, torch floor-mode sizes, −inf pads.
+
+    Implemented as an elementwise max over the kernel's shifted strided
+    slices rather than ``lax.reduce_window`` — identical result, but with a
+    plain reverse-mode rule that composes with ``shard_map`` (reduce_window
+    max-grad does not linearise under shard_map as of jax 0.9).  XLA fuses
+    the ``prod(kernel)`` maximum ops into one pass.
+    """
+    neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) \
         else jnp.iinfo(x.dtype).min
-    dims = (1, *kernel, 1)
-    strides = (1, *stride, 1)
-    pads = ((0, 0), (padding[0],) * 2, (padding[1],) * 2, (padding[2],) * 2,
-            (0, 0))
-    return jax.lax.reduce_window(x, neg, jax.lax.max, dims, strides, pads)
+    pads = ((0, 0), (padding[0],) * 2, (padding[1],) * 2,
+            (padding[2],) * 2, (0, 0))
+    xp = jnp.pad(x, pads, constant_values=neg)
+    out_sizes = [
+        (x.shape[i + 1] + 2 * padding[i] - kernel[i]) // stride[i] + 1
+        for i in range(3)]
+    result = None
+    for dt in range(kernel[0]):
+        for dh in range(kernel[1]):
+            for dw in range(kernel[2]):
+                window = xp[
+                    :,
+                    dt: dt + (out_sizes[0] - 1) * stride[0] + 1: stride[0],
+                    dh: dh + (out_sizes[1] - 1) * stride[1] + 1: stride[1],
+                    dw: dw + (out_sizes[2] - 1) * stride[2] + 1: stride[2],
+                    :]
+                result = window if result is None \
+                    else jnp.maximum(result, window)
+    return result
 
 
 def init_dense(key: jax.Array, in_ch: int, out_ch: int,

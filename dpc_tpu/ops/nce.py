@@ -108,12 +108,15 @@ def nce_loss(score: jax.Array, targets: jax.Array) -> tuple[jax.Array, dict]:
 
 def topk_accuracy(score: jax.Array, targets: jax.Array,
                   ks: tuple[int, ...] = (1, 3, 5)) -> dict:
-    """Fraction of rows whose positive ranks in the top-k columns."""
-    maxk = max(ks)
+    """Fraction of rows whose positive ranks in the top-k columns.
+    k is clamped to the candidate count (tiny configs can have < 5 cols)."""
+    ncols = score.shape[-1]
+    maxk = min(max(ks), ncols)
     _, idx = jax.lax.top_k(score, maxk)
     hit = idx == targets[:, None]
-    return {f"top{k}": jnp.mean(jnp.any(hit[:, :k], axis=-1).astype(jnp.float32))
-            for k in ks}
+    return {f"top{k}": jnp.mean(
+        jnp.any(hit[:, :min(k, ncols)], axis=-1).astype(jnp.float32))
+        for k in ks}
 
 
 def mask_code_stats(score: jax.Array, mask: np.ndarray) -> dict:

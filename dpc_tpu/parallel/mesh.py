@@ -1,0 +1,65 @@
+"""Device mesh and sharding helpers.
+
+The reference's entire parallelism story is single-process
+``nn.DataParallel`` (``dpc/main.py:65``).  The TPU-native equivalent is one
+``jax.sharding.Mesh`` over the slice with the batch axis sharded along
+``'data'``; gradients are ``pmean``'d over ICI inside a ``shard_map``'d
+train step.  The mesh carries a second ``'model'`` axis (size 1 by default)
+so tensor-style shardings can be introduced without re-plumbing callers.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(num_devices: int = 0, model_parallel: int = 1,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build a ('data', 'model') mesh.
+
+    ``num_devices`` 0 means all visible devices.  ``model_parallel`` splits
+    off an inner axis that rides the fastest ICI links (adjacent devices).
+    """
+    if devices is None:
+        devices = jax.devices()
+    if num_devices:
+        devices = devices[:num_devices]
+    n = len(devices)
+    if n % model_parallel:
+        raise ValueError(f"{n} devices not divisible by "
+                         f"model_parallel={model_parallel}")
+    grid = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a host batch with its leading axis sharded over 'data'."""
+    return jax.device_put(batch, batch_sharding(mesh))
+
+
+def replicate(mesh: Mesh, tree):
+    return jax.device_put(tree, replicated(mesh))
+
+
+def local_batch_size(mesh: Mesh, global_batch: int) -> int:
+    n = mesh.shape[DATA_AXIS]
+    if global_batch % n:
+        raise ValueError(f"global batch {global_batch} not divisible by "
+                         f"data-parallel size {n}")
+    return global_batch // n

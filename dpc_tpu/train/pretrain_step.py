@@ -1,0 +1,156 @@
+"""The jitted, mesh-sharded DPC pretraining step.
+
+TPU-native re-design of the reference hot loop (``dpc/main.py:187-246``
+under ``nn.DataParallel``): one ``shard_map`` over the ('data',) mesh axis
+runs the per-device forward/loss/backward; gradients are ``pmean``'d over
+ICI; the (replicated) Adam update happens inside the same program, so a
+whole training step is a single XLA executable with donated buffers.
+
+Negative-pool semantics (``TrainConfig.negatives``):
+  * ``'local'`` — each device scores its own sub-batch only: exactly the
+    reference's per-GPU negative pool (``dpc/main.py:180,212`` — "dot
+    product is computed in parallel gpus, so get less easy neg").  Loss
+    parity with the reference requires this mode.
+  * ``'global'`` — ``all_gather`` the GT embeddings over the data axis so
+    every device scores against the full global batch: more negatives, a
+    harder and better contrastive task, and the TPU-native default for new
+    runs.  The gather is D·B·P·SQ floats per device — tiny next to the
+    backbone activations — and rides ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import PartitionSpec as P
+
+from dpc_tpu.core.config import DPCConfig, TrainConfig, dtype_of
+from dpc_tpu.models import dpc
+from dpc_tpu.ops import nce
+from dpc_tpu.parallel.mesh import DATA_AXIS
+
+Params = Any
+
+
+class TrainState(NamedTuple):
+    params: Params
+    opt_state: Any
+    step: jax.Array
+
+
+def local_nce(score: jax.Array, targets: jax.Array):
+    return nce.nce_loss(score, targets)
+
+
+def _global_score_and_targets(pred: jax.Array, gt: jax.Array,
+                              cfg: DPCConfig, axis_name: str):
+    """Score local predictions against the all-gathered global GT pool."""
+    bl, p, s, _, d = pred.shape
+    gt_all = jax.lax.all_gather(gt, axis_name, axis=0, tiled=True)
+    bg = gt_all.shape[0]
+    rows = pred.reshape(bl * p * s * s, d)
+    cols = gt_all.reshape(bg * p * s * s, d)
+    score = jnp.dot(rows, cols.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    # positive for local row (b, p, q) sits at global column
+    # ((shard*bl + b), p, q)
+    shard = jax.lax.axis_index(axis_name)
+    local = jnp.arange(bl * p * s * s, dtype=jnp.int32)
+    targets = shard * (bl * p * s * s) + local
+    return score, targets
+
+
+def make_pretrain_step(model_cfg: DPCConfig, train_cfg: TrainConfig,
+                       mesh, tx: optax.GradientTransformation):
+    """Build the jitted train step: (state, batch, key) → (state, metrics).
+
+    ``batch``: ``[B, N, SL, H, W, 3]`` float32, leading axis sharded over
+    'data'.  ``key``: scalar PRNG key (replicated; each device folds in its
+    axis index, mirroring DataParallel's independent per-replica dropout).
+    """
+    dtype = dtype_of(model_cfg.compute_dtype)
+    n_data = mesh.shape[DATA_AXIS]
+    local_b = train_cfg.batch_size // n_data
+    local_targets = jnp.asarray(nce.nce_targets(
+        local_b, model_cfg.pred_step, model_cfg.sq))
+    bn_axis = DATA_AXIS if train_cfg.cross_replica_bn else None
+
+    def fwd(params, batch, key):
+        return dpc.apply_dpc(params, batch, cfg=model_cfg, train=True,
+                             key=key, dtype=dtype, axis_name=bn_axis)
+
+    if train_cfg.remat:
+        fwd = jax.checkpoint(
+            fwd,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+
+    def loss_fn(params, batch, key):
+        score, pred, gt = fwd(params, batch, key)
+        if train_cfg.negatives == "global" and n_data > 1:
+            score, targets = _global_score_and_targets(
+                pred.astype(jnp.float32), gt.astype(jnp.float32),
+                model_cfg, DATA_AXIS)
+        else:
+            targets = local_targets
+        loss, metrics = nce.nce_loss(score, targets)
+        return loss, metrics
+
+    def device_step(state: TrainState, batch, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+        key = jax.random.fold_in(key, state.step)
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch, key)
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        metrics = jax.lax.pmean({"loss": loss, **metrics}, DATA_AXIS)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    sharded = jax.shard_map(
+        device_step, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P()),
+        out_specs=(P(), P()),
+        check_vma=False)
+
+    donate = (0,) if train_cfg.donate else ()
+    return jax.jit(sharded, donate_argnums=donate)
+
+
+def make_eval_step(model_cfg: DPCConfig, train_cfg: TrainConfig, mesh):
+    """Validation step: forward + loss only, no dropout, no grads
+    (reference ``validate``, ``dpc/main.py:249-282``)."""
+    dtype = dtype_of(model_cfg.compute_dtype)
+    n_data = mesh.shape[DATA_AXIS]
+    local_b = train_cfg.batch_size // n_data
+    local_targets = jnp.asarray(nce.nce_targets(
+        local_b, model_cfg.pred_step, model_cfg.sq))
+
+    def device_step(params, batch):
+        score, pred, gt = dpc.apply_dpc(params, batch, cfg=model_cfg,
+                                        train=False, dtype=dtype)
+        if train_cfg.negatives == "global" and n_data > 1:
+            score, targets = _global_score_and_targets(
+                pred.astype(jnp.float32), gt.astype(jnp.float32),
+                model_cfg, DATA_AXIS)
+        else:
+            targets = local_targets
+        loss, metrics = nce.nce_loss(score, targets)
+        return jax.lax.pmean({"loss": loss, **metrics}, DATA_AXIS)
+
+    sharded = jax.shard_map(device_step, mesh=mesh,
+                            in_specs=(P(), P(DATA_AXIS)), out_specs=P(),
+                            check_vma=False)
+    return jax.jit(sharded)
+
+
+def init_train_state(key: jax.Array, model_cfg: DPCConfig,
+                     train_cfg: TrainConfig,
+                     tx: optax.GradientTransformation) -> TrainState:
+    params = dpc.init_dpc(key, model_cfg)
+    return TrainState(params=params, opt_state=tx.init(params),
+                      step=jnp.zeros((), jnp.int32))

@@ -1,0 +1,66 @@
+"""Checkpoint save / resume / retention / transfer tests."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dpc_tpu.core import checkpoint as ckpt
+
+
+def _payload(seed):
+    k = jax.random.PRNGKey(seed)
+    return {
+        "params": {"w": jax.random.normal(k, (4, 4)),
+                   "b": jnp.zeros((4,))},
+        "step": jnp.asarray(seed, jnp.int32),
+    }
+
+
+def test_save_restore_roundtrip(tmp_path):
+    mgr = ckpt.make_manager(str(tmp_path / "run"))
+    p = _payload(3)
+    ckpt.save(mgr, epoch=1, payload=p, metrics={"val_acc": 0.5})
+    epoch, restored = ckpt.restore_latest(
+        mgr, jax.tree.map(jnp.zeros_like, p))
+    assert epoch == 1
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
+                                  np.asarray(p["params"]["w"]))
+    assert int(restored["step"]) == 3
+
+
+def test_rolling_retention_keeps_best(tmp_path):
+    mgr = ckpt.make_manager(str(tmp_path / "run"), max_to_keep=1)
+    for epoch, acc in ((1, 0.2), (2, 0.9), (3, 0.4), (4, 0.5)):
+        ckpt.save(mgr, epoch, _payload(epoch), metrics={"val_acc": acc})
+    steps = set(mgr.all_steps())
+    assert 2 in steps, f"best epoch evicted: {steps}"     # best kept
+    assert 4 in steps, f"latest evicted: {steps}"          # latest kept
+    epoch, best = ckpt.restore_best(mgr, _payload(0))
+    assert epoch == 2 and int(best["step"]) == 2
+
+
+def test_restore_empty_dir(tmp_path):
+    mgr = ckpt.make_manager(str(tmp_path / "fresh"))
+    epoch, payload = ckpt.restore_latest(mgr, _payload(0))
+    assert epoch is None and int(payload["step"]) == 0
+
+
+def test_transfer_load_intersection():
+    src = {"backbone": {"w": jnp.ones((2, 2))},
+           "pred": {"w": jnp.full((3,), 7.0)}}
+    tgt = {"backbone": {"w": jnp.zeros((2, 2))},
+           "head": {"w": jnp.zeros((5,))}}
+    out = ckpt.transfer_load(tgt, src, verbose=False)
+    np.testing.assert_array_equal(np.asarray(out["backbone"]["w"]),
+                                  np.ones((2, 2)))
+    np.testing.assert_array_equal(np.asarray(out["head"]["w"]),
+                                  np.zeros((5,)))
+
+
+def test_transfer_load_shape_mismatch_skipped():
+    src = {"backbone": {"w": jnp.ones((3, 3))}}
+    tgt = {"backbone": {"w": jnp.zeros((2, 2))}}
+    out = ckpt.transfer_load(tgt, src, verbose=False)
+    np.testing.assert_array_equal(np.asarray(out["backbone"]["w"]),
+                                  np.zeros((2, 2)))

@@ -1,0 +1,140 @@
+"""Sharded train-step semantics on the 8-device virtual CPU mesh.
+
+The key parity property (SURVEY §4 plan item (c)): with ``negatives='local'``
+the mesh-sharded loss equals the mean of per-shard-group computations — the
+reference's per-GPU DataParallel semantics (``dpc/main.py:180,212``),
+including per-replica batch-stat BN.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dpc_tpu.core.config import DPCConfig, TrainConfig
+from dpc_tpu.models import dpc
+from dpc_tpu.ops import nce
+from dpc_tpu.parallel import mesh as meshlib
+from dpc_tpu.train import optim, pretrain_step
+
+CFG = DPCConfig(img_dim=32, num_seq=3, seq_len=4, pred_step=1)
+B = 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return meshlib.make_mesh()
+
+
+@pytest.fixture(scope="module")
+def setup(mesh):
+    params = dpc.init_dpc(jax.random.PRNGKey(0), CFG)
+    x = np.asarray(jax.random.normal(
+        jax.random.PRNGKey(1),
+        (B, CFG.num_seq, CFG.seq_len, CFG.img_dim, CFG.img_dim, 3)))
+    return params, x
+
+
+def _per_group_reference(params, x, n_groups, negatives="local"):
+    """Host-side per-group computation mirroring DataParallel exactly."""
+    bl = x.shape[0] // n_groups
+    preds, gts, losses = [], [], []
+    for g in range(n_groups):
+        xs = jnp.asarray(x[g * bl:(g + 1) * bl])
+        score, pred, gt = dpc.apply_dpc(params, xs, cfg=CFG, train=False)
+        preds.append(np.asarray(pred))
+        gts.append(np.asarray(gt))
+        if negatives == "local":
+            t = jnp.asarray(nce.nce_targets(bl, CFG.pred_step, CFG.sq))
+            loss, _ = nce.nce_loss(score, t)
+            losses.append(float(loss))
+    if negatives == "local":
+        return float(np.mean(losses))
+    # global: each group's rows score against the concat of all groups' GTs
+    gt_all = np.concatenate(gts, axis=0)
+    cols = gt_all.reshape(-1, CFG.feature_size)
+    rpg = bl * CFG.pred_step * CFG.sq
+    for g in range(n_groups):
+        rows = preds[g].reshape(rpg, CFG.feature_size)
+        score = rows @ cols.T
+        targets = g * rpg + np.arange(rpg)
+        loss, _ = nce.nce_loss(jnp.asarray(score), jnp.asarray(targets))
+        losses.append(float(loss))
+    return float(np.mean(losses))
+
+
+def test_local_negatives_match_per_group_reference(mesh, setup):
+    params, x = setup
+    tcfg = TrainConfig(batch_size=B, negatives="local")
+    ev = pretrain_step.make_eval_step(CFG, tcfg, mesh)
+    got = ev(meshlib.replicate(mesh, params), meshlib.shard_batch(mesh, x))
+    want = _per_group_reference(params, x, mesh.shape["data"], "local")
+    np.testing.assert_allclose(float(got["loss"]), want, rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_global_negatives_match_per_group_reference(mesh, setup):
+    params, x = setup
+    tcfg = TrainConfig(batch_size=B, negatives="global")
+    ev = pretrain_step.make_eval_step(CFG, tcfg, mesh)
+    got = ev(meshlib.replicate(mesh, params), meshlib.shard_batch(mesh, x))
+    want = _per_group_reference(params, x, mesh.shape["data"], "global")
+    np.testing.assert_allclose(float(got["loss"]), want, rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_global_pool_is_harder_than_local(mesh, setup):
+    params, x = setup
+    local = pretrain_step.make_eval_step(
+        CFG, TrainConfig(batch_size=B, negatives="local"), mesh)(
+        meshlib.replicate(mesh, params), meshlib.shard_batch(mesh, x))
+    glob = pretrain_step.make_eval_step(
+        CFG, TrainConfig(batch_size=B, negatives="global"), mesh)(
+        meshlib.replicate(mesh, params), meshlib.shard_batch(mesh, x))
+    # 8× the candidate pool ⇒ strictly larger loss at init
+    assert float(glob["loss"]) > float(local["loss"])
+
+
+def test_train_step_decreases_loss(mesh, setup):
+    params, _ = setup
+    # 16 samples → 2 per device: the local 2×2 score matrix has negatives
+    x = np.asarray(jax.random.normal(
+        jax.random.PRNGKey(9),
+        (16, CFG.num_seq, CFG.seq_len, CFG.img_dim, CFG.img_dim, 3)))
+    params = jax.tree.map(jnp.array, params)  # private copy to donate
+    tcfg = TrainConfig(batch_size=16, lr=1e-3, wd=1e-5, negatives="local")
+    tx = optim.pretrain_optimizer(params, tcfg.lr, tcfg.wd)
+    state = pretrain_step.TrainState(params, tx.init(params),
+                                     jnp.zeros((), jnp.int32))
+    state = meshlib.replicate(mesh, state)
+    step = pretrain_step.make_pretrain_step(CFG, tcfg, mesh, tx)
+    xb = meshlib.shard_batch(mesh, jnp.asarray(x))
+    losses = []
+    for _ in range(6):
+        state, metrics = step(state, xb, jax.random.PRNGKey(7))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 6
+
+
+def test_freeze_backbone(mesh, setup):
+    params, x = setup
+    # snapshot before the step: donated buffers are deleted by the update
+    stem_before = np.asarray(
+        params["backbone"]["stem"]["conv"]["w"]).copy()
+    pred_before = np.asarray(params["pred"]["conv1"]["w"]).copy()
+    params = jax.tree.map(jnp.array, params)  # private copy to donate
+    tcfg = TrainConfig(batch_size=B, lr=1e-2, train_what="last")
+    tx = optim.pretrain_optimizer(params, tcfg.lr, tcfg.wd,
+                                  train_what="last")
+    state = meshlib.replicate(mesh, pretrain_step.TrainState(
+        params, tx.init(params), jnp.zeros((), jnp.int32)))
+    step = pretrain_step.make_pretrain_step(CFG, tcfg, mesh, tx)
+    xb = meshlib.shard_batch(mesh, jnp.asarray(x))
+    new_state, _ = step(state, xb, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(
+        np.asarray(new_state.params["backbone"]["stem"]["conv"]["w"]),
+        stem_before)
+    assert not np.allclose(
+        np.asarray(new_state.params["pred"]["conv1"]["w"]), pred_before)
