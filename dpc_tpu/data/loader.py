@@ -1,0 +1,110 @@
+"""Threaded prefetching batch loader.
+
+The reference keeps chips fed with 32 DataLoader *processes* serialising
+tensors through pipes (``dpc/main.py:307-321``).  Here decode + augment run
+in a thread pool (cv2/PIL release the GIL for the hot work), batches are
+assembled into pinned numpy arrays, and a bounded queue keeps
+``prefetch_batches`` of them ready ahead of the training loop; the training
+driver overlaps host→device transfer by double-buffering ``device_put``.
+
+Determinism: one root seed → per-(epoch, position) sample RNGs, so a run
+is reproducible regardless of worker count — unlike the reference, whose
+global-``random`` augmentation draws depend on worker scheduling.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+class ClipLoader:
+    """Iterate minibatches of a clip dataset.
+
+    dataset: anything with ``__len__`` and
+    ``sample(index, rng) -> clip | (clip, label)``.
+    Yields float32 ``[B, N, SL, H, W, C]`` batches (plus int32 labels when
+    the dataset returns them).
+    """
+
+    def __init__(self, dataset, batch_size: int, *, shuffle: bool = True,
+                 drop_last: bool = True, num_workers: int = 8,
+                 prefetch_batches: int = 4, seed: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.prefetch_batches = prefetch_batches
+        self.seed = seed
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else \
+            (n + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _order(self) -> np.ndarray:
+        n = len(self.dataset)
+        if not self.shuffle:
+            return np.arange(n)
+        rng = np.random.default_rng((self.seed, self.epoch))
+        return rng.permutation(n)
+
+    def __iter__(self) -> Iterator:
+        order = self._order()
+        n = len(order)
+        nb = len(self)
+        out_q: queue.Queue = queue.Queue(maxsize=self.prefetch_batches)
+        stop = threading.Event()
+
+        def load_one(pos: int):
+            rng = np.random.default_rng((self.seed, self.epoch, pos))
+            return self.dataset.sample(int(order[pos]), rng)
+
+        def producer():
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for b in range(nb):
+                        lo = b * self.batch_size
+                        hi = min(lo + self.batch_size, n)
+                        items = list(pool.map(load_one, range(lo, hi)))
+                        if stop.is_set():
+                            return
+                        if isinstance(items[0], tuple):
+                            clips = np.stack([it[0] for it in items])
+                            labels = np.asarray([it[1] for it in items],
+                                                np.int32)
+                            out_q.put((clips, labels))
+                        else:
+                            out_q.put(np.stack(items))
+            except Exception as e:  # surface worker errors to the consumer
+                out_q.put(e)
+            finally:
+                out_q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            # drain so the producer can finish putting and exit
+            while t.is_alive():
+                try:
+                    out_q.get_nowait()
+                except queue.Empty:
+                    t.join(timeout=0.1)

@@ -1,0 +1,222 @@
+"""Frame-tree video datasets: clip samplers over offline-extracted JPEGs.
+
+Disk-layout contract (same as the reference, ``dpc/dataset_3d.py:97-106``):
+each video is a directory of ``image_%05d.jpg`` (1-indexed) frames, and a
+split CSV lists ``(video_dir, num_frames)`` rows.  Split CSVs and
+``classInd.txt`` live under ``{data_root}/{dataset}/`` (the reference
+hardcodes ``../process_data/data/...``; see ``dpc_tpu/data/preprocess.py``
+for the tools that produce this layout).
+
+Capabilities matched:
+  * short-video filtering (``dpc/dataset_3d.py:76-82``);
+  * uniform random clip start + stride lattice (``:88-95``);
+  * val-split 30% subsample, deterministic seed 666 (``:84`` — the
+    reference leaves the UCF val subsample unseeded, ``:184``; we seed
+    both: reproducibility is a feature, the discrepancy is documented);
+  * labels from ``classInd.txt``, 0-based (the reference pretrain dataset
+    forgets the −1 on UCF ids, ``dpc/dataset_3d.py:166-174`` — latent since
+    pretraining never reads labels; we always 0-base);
+  * eval/test mode: dense all-frame sampling, non-overlapping seq_len
+    blocks, half-overlapping windows of num_seq blocks
+    (``eval/dataset_3d_lc.py:76-78,109-125``);
+  * ``unit_test`` subsample of 32 videos (``dpc/dataset_3d.py:85``).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from dpc_tpu.core import shapes
+from dpc_tpu.data.augment import Compose
+
+try:
+    import cv2
+    _HAVE_CV2 = True
+except Exception:  # pragma: no cover
+    _HAVE_CV2 = False
+
+
+def load_frame(path: str) -> np.ndarray:
+    """Decode one JPEG to RGB uint8 [H, W, 3]."""
+    if _HAVE_CV2:
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if img is None:
+            raise FileNotFoundError(path)
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"))
+
+
+def read_split_csv(path: str) -> list[tuple[str, int]]:
+    rows = []
+    with open(path) as f:
+        for row in csv.reader(f):
+            if not row:
+                continue
+            rows.append((row[0], int(float(row[1]))))
+    return rows
+
+
+def read_class_index(path: str) -> dict[str, int]:
+    """``classInd.txt``: 'id,name' or 'id name' rows, ids 1-based on disk,
+    0-based in memory (``dpc/dataset_3d.py:47-56``)."""
+    mapping: dict[str, int] = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            parts = line.replace(",", " ").split()
+            mapping[parts[1]] = int(parts[0]) - 1
+    return mapping
+
+
+@dataclass
+class VideoRecord:
+    path: str
+    num_frames: int
+    label: int = -1
+
+
+class FrameClipDataset:
+    """Random-clip sampler over a list of video frame directories."""
+
+    def __init__(self, records: list[VideoRecord], transform: Compose, *,
+                 num_seq: int = 8, seq_len: int = 5, downsample: int = 3,
+                 mode: str = "train", return_label: bool = False,
+                 window_stride: Optional[int] = None,
+                 class_names: Optional[dict[int, str]] = None):
+        self.transform = transform
+        self.num_seq = num_seq
+        self.seq_len = seq_len
+        self.downsample = downsample
+        self.mode = mode
+        self.return_label = return_label
+        self.window_stride = window_stride or max(1, num_seq // 2)
+        self.class_names = class_names or {}
+        span = shapes.clip_span(num_seq, seq_len, downsample)
+        if mode == "test":
+            self.records = [r for r in records if r.num_frames > 0]
+        else:
+            self.records = [r for r in records if r.num_frames > span]
+
+    def __len__(self) -> int:
+        return len(self.records)
+
+    def _frame_path(self, record: VideoRecord, idx: int) -> str:
+        return os.path.join(record.path, f"image_{idx + 1:05d}.jpg")
+
+    def _load_frames(self, record: VideoRecord,
+                     indices: np.ndarray) -> np.ndarray:
+        flat = indices.reshape(-1)
+        # clamp defensively: CSV vlen can overcount by a frame
+        flat = np.minimum(flat, record.num_frames - 1)
+        frames = [load_frame(self._frame_path(record, int(i))) for i in flat]
+        return np.stack(frames)
+
+    def sample(self, index: int, rng: np.random.Generator):
+        """Load + transform one item.
+
+        train/val: ``[N, SL, H, W, 3]`` float32 (plus int label when
+        ``return_label``).  test: ``[num_windows, N, SL, H, W, 3]``.
+        """
+        record = self.records[index]
+        if self.mode == "test":
+            windows = shapes.test_time_windows(
+                record.num_frames, self.num_seq, self.seq_len,
+                self.downsample, self.window_stride)
+            nw = windows.shape[0]
+            frames = self._load_frames(record, windows)
+            clip = self.transform(frames, rng)
+            h, w, c = clip.shape[-3:]
+            clip = clip.reshape(nw, self.num_seq, self.seq_len, h, w, c)
+            return (clip, record.label) if self.return_label else clip
+
+        start = shapes.sample_clip_start(rng, record.num_frames,
+                                         self.num_seq, self.seq_len,
+                                         self.downsample)
+        assert start is not None, record.path
+        indices = shapes.clip_block_indices(start, self.num_seq,
+                                            self.seq_len, self.downsample)
+        frames = self._load_frames(record, indices)
+        clip = self.transform(frames, rng)
+        h, w, c = clip.shape[-3:]
+        clip = clip.reshape(self.num_seq, self.seq_len, h, w, c)
+        return (clip, record.label) if self.return_label else clip
+
+
+def _subsample(records: list[VideoRecord], frac: float,
+               seed: int = 666) -> list[VideoRecord]:
+    rng = np.random.default_rng(seed)
+    n = max(1, int(round(len(records) * frac)))
+    idx = rng.permutation(len(records))[:n]
+    return [records[i] for i in sorted(idx)]
+
+
+def _labelled_records(rows: list[tuple[str, int]],
+                      encode: dict[str, int]) -> list[VideoRecord]:
+    recs = []
+    for vpath, vlen in rows:
+        # action name is the class directory above the video dir
+        parts = os.path.normpath(vpath).split(os.sep)
+        label = -1
+        for p in reversed(parts[:-1]):
+            if p in encode:
+                label = encode[p]
+                break
+        recs.append(VideoRecord(vpath, vlen, label))
+    return recs
+
+
+def make_dataset(dataset: str, data_root: str, mode: str,
+                 transform: Compose, *, num_seq: int = 8, seq_len: int = 5,
+                 downsample: int = 3, split: int = 1, big: bool = False,
+                 return_label: bool = False, unit_test: bool = False,
+                 val_subsample: float = 0.3) -> FrameClipDataset:
+    """Factory covering ucf101 / hmdb51 / k400 split conventions.
+
+    ucf101/hmdb51: ``{root}/{name}/{mode}_split{split:02d}.csv``
+    (``dpc/dataset_3d.py:155-165``); k400: ``{root}/kinetics400[_256]/
+    {train|val}_split.csv`` with downsample typically 5
+    (``dpc/dataset_3d.py:59-74``, ``dpc/main.py:293``).
+    """
+    if dataset == "k400":
+        sub = "kinetics400_256" if big else "kinetics400"
+        split_file = os.path.join(
+            data_root, sub,
+            "train_split.csv" if mode == "train" else "val_split.csv")
+        class_file = os.path.join(data_root, "kinetics400", "classInd.txt")
+    elif dataset in ("ucf101", "hmdb51"):
+        # train/val/test split CSVs live next to classInd.txt; when no val
+        # split exists (hmdb51 has train/test only) fall back to test
+        split_file = os.path.join(data_root, dataset,
+                                  f"{mode}_split{split:02d}.csv")
+        if not os.path.exists(split_file) and mode == "val":
+            split_file = os.path.join(data_root, dataset,
+                                      f"test_split{split:02d}.csv")
+        class_file = os.path.join(data_root, dataset, "classInd.txt")
+    else:
+        raise ValueError(f"unknown dataset {dataset!r}")
+
+    rows = read_split_csv(split_file)
+    encode = read_class_index(class_file) if os.path.exists(class_file) \
+        else {}
+    records = _labelled_records(rows, encode)
+    if mode == "val" and val_subsample < 1.0:
+        records = _subsample(records, val_subsample)
+    if unit_test:
+        records = _subsample(records, min(1.0, 32 / max(len(records), 1)))
+    names = {v: k for k, v in encode.items()}
+    window_stride = (3 * num_seq // 4 if dataset == "hmdb51"
+                     else num_seq // 2)
+    return FrameClipDataset(records, transform, num_seq=num_seq,
+                            seq_len=seq_len, downsample=downsample,
+                            mode=mode, return_label=return_label,
+                            window_stride=window_stride, class_names=names)

@@ -1,0 +1,285 @@
+"""Data pipeline tests: augmentations, synthetic dataset, loader,
+offline preprocessing roundtrip, frame datasets."""
+
+import os
+
+import numpy as np
+import pytest
+
+from dpc_tpu.data import augment as A
+from dpc_tpu.data.loader import ClipLoader
+from dpc_tpu.data.synthetic import SyntheticVideoDataset
+from dpc_tpu.data import preprocess, video_dataset
+
+
+def _clip(t=4, h=64, w=80, seed=0):
+    return np.random.default_rng(seed).integers(
+        0, 255, size=(t, h, w, 3), dtype=np.uint8)
+
+
+class TestAugment:
+    def test_scale_short_side(self):
+        out = A.Scale(32)(_clip(), np.random.default_rng(0))
+        assert out.shape == (4, 32, 40, 3)  # short side 64 → 32, aspect kept
+
+    def test_scale_fixed(self):
+        out = A.Scale((48, 24))(_clip(), np.random.default_rng(0))
+        assert out.shape == (4, 24, 48, 3)  # (w, h) convention like PIL
+
+    def test_center_crop(self):
+        out = A.CenterCrop(32)(_clip(), np.random.default_rng(0))
+        ref = _clip()[:, 16:48, 24:56]
+        np.testing.assert_array_equal(out, ref)
+
+    def test_random_crop_consistent(self):
+        rng = np.random.default_rng(1)
+        out = A.RandomCrop(32, consistent=True)(_clip(), rng)
+        assert out.shape == (4, 32, 32, 3)
+        # consistency: every frame is the same window of the source
+        src = _clip()
+        found = False
+        for y in range(33):
+            for x in range(49):
+                if np.array_equal(out[0], src[0, y:y + 32, x:x + 32]):
+                    np.testing.assert_array_equal(
+                        out, src[:, y:y + 32, x:x + 32])
+                    found = True
+        assert found
+
+    def test_random_sized_crop_shapes(self):
+        rng = np.random.default_rng(2)
+        out = A.RandomSizedCrop(32)(_clip(), rng)
+        assert out.shape == (4, 32, 32, 3)
+        # p=0 → deterministic center crop
+        out0 = A.RandomSizedCrop(32, p=0.0)(_clip(), rng)
+        np.testing.assert_array_equal(
+            out0, A.CenterCrop(32)(_clip(), rng))
+
+    def test_horizontal_flip_forced(self):
+        src = _clip()
+        left = A.RandomHorizontalFlip(command="left")(
+            src, np.random.default_rng(0))
+        right = A.RandomHorizontalFlip(command="right")(
+            src, np.random.default_rng(0))
+        np.testing.assert_array_equal(left, src)
+        np.testing.assert_array_equal(right, src[:, :, ::-1])
+
+    def test_random_gray_is_channel_split(self):
+        out = A.RandomGray(consistent=True, p=1.0)(
+            _clip(), np.random.default_rng(3))
+        assert (out[..., 0] == out[..., 1]).all()
+        assert (out[..., 1] == out[..., 2]).all()
+        src = _clip()
+        assert any((out[..., 0] == src[..., ch]).all() for ch in range(3))
+
+    def test_color_jitter_factors(self):
+        img = _clip()[0]
+        np.testing.assert_array_equal(A.adjust_brightness(img, 1.0), img)
+        assert A.adjust_brightness(img, 0.0).max() == 0
+        np.testing.assert_array_equal(A.adjust_contrast(img, 1.0), img)
+        np.testing.assert_array_equal(A.adjust_saturation(img, 1.0), img)
+        g = A.adjust_saturation(img, 0.0)
+        assert (g[..., 0] == g[..., 1]).all()
+        # hue shift by a full wheel is identity-ish (wraps mod 256 ≈ 255/255)
+        h0 = A.adjust_hue(img, 0.0)
+        np.testing.assert_array_equal(h0, img)
+
+    def test_color_jitter_blend_formulas(self):
+        # torchvision semantics: blend(img, degenerate, factor)
+        # (torchvision isn't installed here; check the closed forms)
+        img = _clip()[0]
+        for f in (0.5, 0.8, 1.3):
+            want = np.clip(img.astype(np.float32) * f, 0, 255).astype(
+                np.uint8)
+            np.testing.assert_array_equal(A.adjust_brightness(img, f), want)
+            gray = (img[..., 0] * 0.299 + img[..., 1] * 0.587
+                    + img[..., 2] * 0.114).astype(np.uint8)[..., None]
+            want = np.clip(img.astype(np.float32) * f
+                           + gray.astype(np.float32) * (1 - f),
+                           0, 255).astype(np.uint8)
+            np.testing.assert_array_equal(A.adjust_saturation(img, f), want)
+            mean = int(gray[..., 0].mean() + 0.5)
+            want = np.clip(img.astype(np.float32) * f + mean * (1 - f),
+                           0, 255).astype(np.uint8)
+            # f32 vs f64 truncation boundaries → tolerate off-by-one
+            assert np.abs(A.adjust_contrast(img, f).astype(int)
+                          - want.astype(int)).max() <= 1
+
+    def test_normalize_range(self):
+        out = A.Normalize()(_clip(), None)
+        assert out.dtype == np.float32
+        assert -3.0 < out.min() and out.max() < 3.0
+
+    def test_pretrain_recipe_end_to_end(self):
+        clip = _clip(t=40, h=256, w=320)
+        out = A.pretrain_transform("ucf101", 128)(
+            clip, np.random.default_rng(0))
+        assert out.shape == (40, 128, 128, 3)
+        assert out.dtype == np.float32
+        out = A.pretrain_transform("k400", 128)(
+            _clip(t=40, h=150, w=200), np.random.default_rng(0))
+        assert out.shape == (40, 128, 128, 3)
+
+    def test_determinism_same_seed(self):
+        tf = A.pretrain_transform("ucf101", 64)
+        clip = _clip(t=8, h=256, w=320)
+        a = tf(clip, np.random.default_rng(7))
+        b = tf(clip, np.random.default_rng(7))
+        np.testing.assert_array_equal(a, b)
+
+
+class TestSynthetic:
+    def test_shapes_and_determinism(self):
+        ds = SyntheticVideoDataset(num_videos=4, frame_size=64,
+                                   num_seq=3, seq_len=4, downsample=2,
+                                   video_len=64)
+        a = ds.sample(0, np.random.default_rng(0))
+        b = ds.sample(0, np.random.default_rng(0))
+        assert a.shape == (3, 4, 64, 64, 3)
+        np.testing.assert_array_equal(a, b)
+
+    def test_labels_and_test_mode(self):
+        ds = SyntheticVideoDataset(num_videos=6, frame_size=32,
+                                   num_seq=2, seq_len=3, downsample=2,
+                                   video_len=64, mode="test",
+                                   return_label=True, num_classes=3)
+        clip, label = ds.sample(4, np.random.default_rng(0))
+        assert clip.ndim == 6 and clip.shape[1:3] == (2, 3)
+        assert label == 1
+
+    def test_temporal_structure(self):
+        # consecutive frames must differ (motion) but not be noise
+        ds = SyntheticVideoDataset(num_videos=1, frame_size=64,
+                                   num_seq=2, seq_len=4, downsample=1,
+                                   video_len=64)
+        f = ds._render_frames(0, np.arange(4))
+        d01 = np.abs(f[0].astype(int) - f[1].astype(int)).mean()
+        assert 0 < d01 < 30
+
+
+class TestLoader:
+    def _ds(self, n=10, label=False):
+        return SyntheticVideoDataset(num_videos=n, frame_size=32,
+                                     num_seq=2, seq_len=3, downsample=2,
+                                     video_len=64, return_label=label)
+
+    def test_batch_shapes_drop_last(self):
+        loader = ClipLoader(self._ds(10), batch_size=4, num_workers=2,
+                            seed=1)
+        batches = list(loader)
+        assert len(batches) == 2  # drop_last
+        assert batches[0].shape == (4, 2, 3, 32, 32, 3)
+
+    def test_labels(self):
+        loader = ClipLoader(self._ds(8, label=True), batch_size=4,
+                            num_workers=2, seed=1)
+        clips, labels = next(iter(loader))
+        assert clips.shape[0] == 4 and labels.shape == (4,)
+        assert labels.dtype == np.int32
+
+    def test_epoch_reshuffles_and_seeds(self):
+        loader = ClipLoader(self._ds(8), batch_size=4, num_workers=2,
+                            seed=5)
+        a = next(iter(loader))
+        b = next(iter(loader))
+        np.testing.assert_array_equal(a, b)  # same epoch → same data
+        loader.set_epoch(1)
+        c = next(iter(loader))
+        assert not np.array_equal(a, c)
+
+    def test_worker_error_propagates(self):
+        class Bad:
+            def __len__(self):
+                return 4
+
+            def sample(self, i, rng):
+                raise RuntimeError("boom")
+
+        with pytest.raises(RuntimeError, match="boom"):
+            list(ClipLoader(Bad(), batch_size=2, num_workers=2))
+
+
+class TestPreprocess(object):
+    def test_video_roundtrip(self, tmp_path):
+        import cv2
+
+        # write a tiny avi, extract frames, build CSV, read via dataset
+        vid_dir = tmp_path / "videos" / "classA"
+        vid_dir.mkdir(parents=True)
+        path = str(vid_dir / "v_test.avi")
+        wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 10,
+                             (80, 64))
+        rng = np.random.default_rng(0)
+        for i in range(12):
+            wr.write(rng.integers(0, 255, (64, 80, 3), np.uint8))
+        wr.release()
+
+        out_root = str(tmp_path / "frames")
+        preprocess.extract_tree(str(tmp_path / "videos"), out_root,
+                                short_side=32, num_workers=1,
+                                use_processes=False)
+        frame_dir = os.path.join(out_root, "classA", "v_test")
+        n = preprocess.count_frames(frame_dir)
+        assert n == 12
+        img = video_dataset.load_frame(
+            os.path.join(frame_dir, "image_00001.jpg"))
+        assert img.shape == (32, 40, 3)  # short side 64 → 32
+
+        csv_path = str(tmp_path / "split.csv")
+        preprocess.write_split_csv([frame_dir], csv_path, num_workers=1)
+        rows = video_dataset.read_split_csv(csv_path)
+        assert rows == [(frame_dir, 12)]
+
+        # resumability: second run skips via .done marker
+        assert preprocess.extract_video(path, frame_dir, 32) == 12
+
+    def test_class_index_roundtrip(self, tmp_path):
+        p = str(tmp_path / "classInd.txt")
+        preprocess.write_class_index(["Basketball", "ApplyLipstick"], p)
+        enc = video_dataset.read_class_index(p)
+        assert enc == {"ApplyLipstick": 0, "Basketball": 1}
+
+
+class TestFrameDataset:
+    def _make_tree(self, tmp_path, n_videos=3, n_frames=30):
+        root = tmp_path / "frames"
+        rows = []
+        import cv2
+
+        for v in range(n_videos):
+            d = root / "classA" / f"v_{v:03d}"
+            d.mkdir(parents=True)
+            rng = np.random.default_rng(v)
+            for i in range(n_frames):
+                cv2.imwrite(str(d / f"image_{i + 1:05d}.jpg"),
+                            rng.integers(0, 255, (64, 80, 3), np.uint8))
+            rows.append((str(d), n_frames))
+        csv_path = str(tmp_path / "train_split01.csv")
+        with open(csv_path, "w") as f:
+            for r in rows:
+                f.write(f"{r[0]},{r[1]}\n")
+        return rows, csv_path
+
+    def test_sample_and_filter(self, tmp_path):
+        rows, _ = self._make_tree(tmp_path)
+        recs = [video_dataset.VideoRecord(p, n) for p, n in rows]
+        recs.append(video_dataset.VideoRecord("short", 5))  # filtered out
+        tf = A.Compose([A.Normalize()])
+        ds = video_dataset.FrameClipDataset(recs, tf, num_seq=2, seq_len=3,
+                                            downsample=2)
+        assert len(ds) == len(rows)
+        clip = ds.sample(0, np.random.default_rng(0))
+        assert clip.shape == (2, 3, 64, 80, 3)
+
+    def test_test_mode_windows(self, tmp_path):
+        rows, _ = self._make_tree(tmp_path, n_videos=1, n_frames=30)
+        recs = [video_dataset.VideoRecord(p, n, label=0) for p, n in rows]
+        tf = A.Compose([A.Normalize()])
+        ds = video_dataset.FrameClipDataset(
+            recs, tf, num_seq=2, seq_len=3, downsample=2, mode="test",
+            return_label=True)
+        clip, label = ds.sample(0, np.random.default_rng(0))
+        # 15 sampled frames → 5 blocks → windows of 2, stride 1
+        assert clip.shape[1:] == (2, 3, 64, 80, 3)
+        assert clip.shape[0] == 4
+        assert label == 0
