@@ -115,10 +115,12 @@ def load_pretrained(path: str, params: Any, key_map_fn,
         params, _ = tc.load_reference_checkpoint(
             path, params, key_map_fn(params), verbose=verbose)
         return params
+    if os.path.isdir(os.path.join(path, "model")):  # run dir → model subdir
+        path = os.path.join(path, "model")
     mgr = make_manager(path)
     step = mgr.latest_step()
     if step is None:
         raise FileNotFoundError(f"no checkpoint under {path}")
-    src = mgr.restore(step)
+    src = mgr.restore(step, args=ocp.args.StandardRestore())
     src_params = src.get("params", src) if isinstance(src, dict) else src
     return transfer_load(params, src_params, verbose=verbose)

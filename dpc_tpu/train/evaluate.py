@@ -1,0 +1,323 @@
+"""Downstream evaluation driver: finetune / linear-probe / dense test.
+
+Capability parity with ``eval/test.py``: LC classifier over the pretrained
+trunk, per-group LRs (``:76-83`` — the reference's *intent*; see
+train/optim.py), multi-step-restart LR schedule (``:94-99``), transfer
+loading of DPC checkpoints (``:149-158``), strict-then-partial test
+loading (``:106-114``), dense test-time windowing with softmax averaging
+over windows (``:303-342``), confusion matrix + markdown test log
+(``:334-341``).
+
+Usage examples:
+  python -m dpc_tpu.train.evaluate --dataset synthetic --epochs 2 \
+      --batch_size 8 --img_dim 64 --pretrain <run_dir>
+  python -m dpc_tpu.train.evaluate --dataset ucf101 --data_root /data \
+      --pretrain <run_dir> --train_what ft --epochs 300
+  python -m dpc_tpu.train.evaluate --test <run_dir> --dataset ucf101 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dpc_tpu.core import checkpoint as ckpt
+from dpc_tpu.core.config import (DataConfig, DPCConfig, EvalConfig,
+                                 ExperimentConfig, TrainConfig)
+from dpc_tpu.data import augment
+from dpc_tpu.data.loader import ClipLoader
+from dpc_tpu.data.synthetic import SyntheticVideoDataset
+from dpc_tpu.data.video_dataset import make_dataset
+from dpc_tpu.models import lc
+from dpc_tpu.parallel import mesh as meshlib
+from dpc_tpu.train import finetune_step, optim
+from dpc_tpu.train.metrics import (AccuracyTable, ConfusionMeter,
+                                   MetricBundle, write_log)
+from dpc_tpu.utils import torch_compat
+
+NUM_CLASSES = {"ucf101": 101, "hmdb51": 51, "synthetic": 8}
+LR_MILESTONES = {  # eval/test.py:94-98
+    ("hmdb51", None): (150, 250, 300),
+    ("ucf101", 224): (300, 400, 500),
+}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="DPC finetune / linear-probe / test (TPU-native)")
+    p.add_argument("--net", default="resnet18")
+    p.add_argument("--model", default="lc")
+    p.add_argument("--dataset", default="ucf101",
+                   choices=["ucf101", "hmdb51", "synthetic"])
+    p.add_argument("--split", default=1, type=int)
+    p.add_argument("--seq_len", default=5, type=int)
+    p.add_argument("--num_seq", default=8, type=int)
+    p.add_argument("--ds", default=3, type=int)
+    p.add_argument("--batch_size", default=4, type=int)
+    p.add_argument("--lr", default=1e-3, type=float)
+    p.add_argument("--wd", default=1e-3, type=float)
+    p.add_argument("--dropout", default=0.5, type=float)
+    p.add_argument("--epochs", default=100, type=int)
+    p.add_argument("--start-epoch", default=0, type=int)
+    p.add_argument("--print_freq", default=5, type=int)
+    p.add_argument("--reset_lr", action="store_true")
+    p.add_argument("--prefix", default="tmp")
+    p.add_argument("--train_what", default="ft", choices=["ft", "last"])
+    p.add_argument("--img_dim", default=128, type=int)
+    p.add_argument("--resume", default="")
+    p.add_argument("--pretrain", default="",
+                   help="DPC checkpoint (.pth.tar or run dir) for the trunk")
+    p.add_argument("--test", default="",
+                   help="LC checkpoint (run dir or .pth.tar) to test")
+    # TPU-native additions
+    p.add_argument("--data_root", default="")
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--num_devices", default=0, type=int)
+    p.add_argument("--num_workers", default=8, type=int)
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--unit_test", action="store_true")
+    p.add_argument("--steps_per_epoch", default=0, type=int)
+    p.add_argument("--log_dir", default="log_eval")
+    p.add_argument("--backbone_lr_scale", default=0.1, type=float)
+    return p
+
+
+def config_from_args(args) -> ExperimentConfig:
+    num_classes = NUM_CLASSES[args.dataset]
+    milestones = LR_MILESTONES.get(
+        (args.dataset, args.img_dim if args.dataset == "ucf101" else None),
+        LR_MILESTONES.get((args.dataset, None), (60, 80, 100)))
+    return ExperimentConfig(
+        model=DPCConfig(img_dim=args.img_dim, num_seq=args.num_seq,
+                        seq_len=args.seq_len, network=args.net,
+                        compute_dtype=args.compute_dtype),
+        data=DataConfig(dataset=args.dataset, data_root=args.data_root,
+                        split=args.split, downsample=args.ds,
+                        num_workers=args.num_workers),
+        train=TrainConfig(batch_size=args.batch_size, seed=args.seed,
+                          num_devices=args.num_devices,
+                          print_freq=args.print_freq),
+        eval=EvalConfig(num_classes=num_classes, dropout=args.dropout,
+                        train_what=args.train_what, lr=args.lr, wd=args.wd,
+                        epochs=args.epochs, batch_size=args.batch_size,
+                        lr_milestones=milestones,
+                        backbone_lr_scale=args.backbone_lr_scale),
+    )
+
+
+def get_dataset(cfg: ExperimentConfig, mode: str, unit_test: bool = False):
+    m, d = cfg.model, cfg.data
+    if d.dataset == "synthetic":
+        if mode == "test":
+            tf = augment.Compose([
+                augment.RandomSizedCrop(size=m.img_dim, consistent=True,
+                                        p=0.0),
+                augment.Normalize()])
+        else:
+            tf = augment.Compose([
+                augment.RandomSizedCrop(size=m.img_dim, consistent=True,
+                                        p=1.0),
+                augment.Normalize()])
+        return SyntheticVideoDataset(
+            transform=tf, num_videos=d.synthetic_num_videos,
+            video_len=d.synthetic_video_len,
+            frame_size=max(m.img_dim, 130), num_seq=m.num_seq,
+            seq_len=m.seq_len, downsample=d.downsample, mode=mode,
+            return_label=True, num_classes=NUM_CLASSES["synthetic"],
+            seed=2 if mode == "val" else (3 if mode == "test" else 0))
+    tf = augment.finetune_transform(
+        m.img_dim, mode if mode in ("train", "val") else "test")
+    return make_dataset(d.dataset, d.data_root, mode, tf,
+                        num_seq=m.num_seq, seq_len=m.seq_len,
+                        downsample=d.downsample, split=d.split,
+                        return_label=True, unit_test=unit_test,
+                        val_subsample=d.val_subsample)
+
+
+def run_test(cfg: ExperimentConfig, params, bn_state, exp_dir: str,
+             unit_test: bool = False) -> tuple[float, float]:
+    """Dense evaluation: every video → overlapping windows → softmax
+    averaged over windows → top1/top5 + confusion matrix
+    (``eval/test.py:303-342``)."""
+    e = cfg.eval
+    ds = get_dataset(cfg, "test", unit_test)
+    forward = finetune_step.make_test_forward(cfg.model, e)
+    confusion = ConfusionMeter(e.num_classes)
+    table = AccuracyTable()
+    top1s, top5s, losses = [], [], []
+    rng = np.random.default_rng(0)
+    tic = time.time()
+    for i in range(len(ds)):
+        clip, label = ds.sample(i, rng)
+        logits = np.asarray(forward(params, bn_state, jnp.asarray(clip)))
+        probs = jax.nn.softmax(jnp.asarray(logits), axis=-1)
+        mean_probs = np.asarray(jnp.mean(probs, axis=0))
+        order = np.argsort(-mean_probs)
+        top1s.append(float(order[0] == label))
+        top5s.append(float(label in order[:5]))
+        mean_logits = logits.mean(axis=0)
+        z = mean_logits - mean_logits.max()
+        losses.append(float(np.log(np.exp(z).sum()) - z[label]))
+        confusion.update(np.asarray([order[0]]), np.asarray([label]))
+        table.update(np.asarray([order[0]]), np.asarray([label]))
+        if i % 20 == 0:
+            print(f"[test] {i}/{len(ds)} acc so far "
+                  f"{np.mean(top1s):.4f} ({time.time() - tic:.1f}s)")
+            tic = time.time()
+    top1, top5 = float(np.mean(top1s)), float(np.mean(top5s))
+    loss = float(np.mean(losses))
+    print(f"[test] loss {loss:.4f}; top1 {top1:.4f}; top5 {top5:.4f}")
+    os.makedirs(exp_dir, exist_ok=True)
+    confusion.plot_mat(os.path.join(exp_dir, "confusion_matrix.svg"))
+    write_log(content=f"loss: {loss:.4f}; top1: {top1:.4f}; "
+              f"top5: {top5:.4f}",
+              epoch=0, filename=os.path.join(exp_dir, "test_log.md"))
+    return loss, top1
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    m, e, t = cfg.model, cfg.eval, cfg.train
+
+    mesh = meshlib.make_mesh(t.num_devices)
+    n_dev = mesh.shape["data"]
+    if t.batch_size % n_dev:
+        raise SystemExit(f"--batch_size {t.batch_size} must be divisible "
+                         f"by {n_dev} devices")
+
+    exp_dir = (args.resume if args.resume else os.path.join(
+        args.log_dir,
+        f"{args.prefix}_{args.dataset}-{m.img_dim}-sp{args.split}"
+        f"_r{m.network[6:]}_lc_bs{t.batch_size}_lr{e.lr}"
+        f"_wd{e.wd}_dp{e.dropout}_train-{e.train_what}"))
+    model_dir = os.path.join(exp_dir, "model")
+    os.makedirs(exp_dir, exist_ok=True)
+    with open(os.path.join(exp_dir, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+
+    key = jax.random.PRNGKey(666)  # LC ctor seed (eval/model_3d_lc.py:16)
+    params, bn_state = lc.init_lc(key, m, e.num_classes)
+
+    # --test: load and evaluate densely, then exit (eval/test.py:106-129)
+    if args.test:
+        if args.test != "random":
+            if args.test.endswith((".pth", ".pth.tar", ".tar")):
+                params, _ = torch_compat.load_reference_checkpoint(
+                    args.test, params, torch_compat.lc_key_map(params))
+                bn_state, _ = torch_compat.load_reference_checkpoint(
+                    args.test, bn_state,
+                    torch_compat.lc_state_key_map(bn_state), verbose=False)
+            else:
+                mgr = ckpt.make_manager(os.path.join(args.test, "model"))
+                step = mgr.best_step() or mgr.latest_step()
+                if step is None:
+                    raise SystemExit(f"no checkpoint under {args.test}")
+                import orbax.checkpoint as ocp
+
+                raw = mgr.restore(step, args=ocp.args.StandardRestore())
+                params = ckpt.transfer_load(params, raw["params"],
+                                            verbose=False)
+                bn_state = ckpt.transfer_load(bn_state, raw["bn_state"],
+                                              verbose=False)
+                print(f"loaded test checkpoint epoch {step}")
+        else:
+            print("[warning] testing RANDOM weights")
+        run_test(cfg, params, bn_state, exp_dir, args.unit_test)
+        return
+
+    if args.pretrain:
+        # a DPC pretrain checkpoint transfers backbone+agg into LC
+        # (neq_load_customized workflow, eval/test.py:149-158)
+        params = ckpt.load_pretrained(args.pretrain, params,
+                                      torch_compat.dpc_key_map
+                                      if args.pretrain.endswith(".tar")
+                                      else torch_compat.lc_key_map)
+
+    tx = optim.finetune_optimizer(params, e.lr, e.wd, e.train_what,
+                                  e.backbone_lr_scale)
+    state = finetune_step.FinetuneState(params, bn_state, tx.init(params),
+                                        jnp.zeros((), jnp.int32))
+    mgr = ckpt.make_manager(model_dir)
+    start_epoch, best_acc = args.start_epoch, 0.0
+    if args.resume:
+        template = {"params": state.params, "bn_state": state.state,
+                    "opt_state": state.opt_state, "step": state.step,
+                    "best_acc": 0.0}
+        epoch0, payload = ckpt.restore_latest(mgr, template)
+        if epoch0 is not None:
+            state = finetune_step.FinetuneState(
+                payload["params"], payload["bn_state"],
+                payload["opt_state"], payload["step"])
+            best_acc = float(payload["best_acc"])
+            start_epoch = epoch0
+            print(f"resumed epoch {epoch0} (best_acc {best_acc:.4f})")
+
+    state = meshlib.replicate(mesh, state)
+    step_fn = finetune_step.make_finetune_step(m, e, mesh, tx)
+    eval_fn = finetune_step.make_finetune_eval_step(m, e, mesh)
+
+    train_loader = ClipLoader(get_dataset(cfg, "train", args.unit_test),
+                              cfg.train.batch_size,
+                              num_workers=cfg.data.num_workers,
+                              seed=cfg.train.seed)
+    val_loader = ClipLoader(get_dataset(cfg, "val", args.unit_test),
+                            cfg.train.batch_size,
+                            num_workers=cfg.data.num_workers,
+                            seed=cfg.train.seed + 1)
+    print(f"train videos: {len(train_loader.dataset)}; "
+          f"val videos: {len(val_loader.dataset)}")
+
+    for epoch in range(start_epoch, e.epochs):
+        train_loader.set_epoch(epoch)
+        val_loader.set_epoch(epoch)
+        lr_scale = optim.multistep_restart_lr(
+            epoch, 1.0, e.lr_milestones, e.lr_gamma, e.lr_repeat)
+        ekey = jax.random.fold_in(jax.random.PRNGKey(cfg.train.seed), epoch)
+        meters, vmeters = MetricBundle(), MetricBundle()
+        for idx, (clips, labels) in enumerate(train_loader):
+            if args.steps_per_epoch and idx >= args.steps_per_epoch:
+                break
+            xb = meshlib.shard_batch(mesh, jnp.asarray(clips))
+            yb = meshlib.shard_batch(mesh, jnp.asarray(labels))
+            state, metrics = step_fn(state, xb, yb, ekey,
+                                     jnp.float32(lr_scale))
+            metrics = {k: float(v) for k, v in metrics.items()}
+            meters.update(metrics, n=clips.shape[0])
+            if idx % cfg.train.print_freq == 0:
+                print(f"[train] epoch {epoch} [{idx}/{len(train_loader)}] "
+                      + " ".join(f"{k} {v:.4f}"
+                                 for k, v in metrics.items())
+                      + f" lr×{lr_scale:g}")
+        for idx, (clips, labels) in enumerate(val_loader):
+            if args.steps_per_epoch and idx >= args.steps_per_epoch:
+                break
+            metrics = eval_fn(state.params, state.state,
+                              meshlib.shard_batch(mesh, jnp.asarray(clips)),
+                              meshlib.shard_batch(mesh,
+                                                  jnp.asarray(labels)))
+            vmeters.update({k: float(v) for k, v in metrics.items()},
+                           n=clips.shape[0])
+        tr, va = meters.averages(), vmeters.averages()
+        print(f"epoch {epoch}: train top1 {tr.get('top1', 0):.4f} | "
+              f"val top1 {va.get('top1', 0):.4f}")
+        val_acc = va.get("top1", 0.0)
+        best_acc = max(best_acc, val_acc)
+        host = jax.device_get(state)
+        ckpt.save(mgr, epoch + 1,
+                  {"params": host.params, "bn_state": host.state,
+                   "opt_state": host.opt_state, "step": host.step,
+                   "best_acc": best_acc},
+                  metrics={"val_acc": val_acc})
+    print(f"Finetune from ep {start_epoch} to ep {e.epochs} finished; "
+          f"best val top1 {best_acc:.4f}")
+
+
+if __name__ == "__main__":
+    main()

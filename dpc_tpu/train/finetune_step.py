@@ -1,0 +1,124 @@
+"""Jitted, mesh-sharded supervised classification steps (LC model).
+
+TPU-native equivalent of the reference finetune hot loop
+(``eval/test.py:218-301``): cross-entropy over LC logits, BN running-state
+threading, pmean'd grads, per-epoch LR injected as a step argument so the
+multi-step-restart schedule never recompiles.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import PartitionSpec as P
+
+from dpc_tpu.core.config import DPCConfig, EvalConfig, dtype_of
+from dpc_tpu.models import lc
+from dpc_tpu.parallel.mesh import DATA_AXIS
+
+
+class FinetuneState(NamedTuple):
+    params: Any
+    state: Any          # BN running stats
+    opt_state: Any
+    step: jax.Array
+
+
+def softmax_xent(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    return jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
+        logits, labels))
+
+
+def _accuracy(logits: jax.Array, labels: jax.Array, k: int) -> jax.Array:
+    _, idx = jax.lax.top_k(logits, min(k, logits.shape[-1]))
+    return jnp.mean(jnp.any(idx == labels[:, None], axis=-1)
+                    .astype(jnp.float32))
+
+
+def make_finetune_step(model_cfg: DPCConfig, eval_cfg: EvalConfig, mesh,
+                       tx: optax.GradientTransformation, *,
+                       donate: bool = True):
+    """(state, batch, labels, key, lr_scale) → (state, metrics).
+
+    ``lr_scale`` multiplies the update (schedule without recompilation);
+    batch ``[B, N, SL, H, W, 3]`` + labels ``[B]`` sharded over 'data'.
+    """
+    dtype = dtype_of(model_cfg.compute_dtype)
+
+    def loss_fn(params, bn_state, batch, labels, key):
+        logits, _, new_bn = lc.apply_lc(
+            params, bn_state, batch, cfg=model_cfg,
+            num_classes=eval_cfg.num_classes, dropout=eval_cfg.dropout,
+            train=True, key=key, dtype=dtype)
+        logits = logits[:, 0, :]
+        loss = softmax_xent(logits, labels)
+        metrics = {"loss": loss,
+                   "top1": _accuracy(logits, labels, 1),
+                   "top5": _accuracy(logits, labels, 5)}
+        return loss, (metrics, new_bn)
+
+    def device_step(state: FinetuneState, batch, labels, key, lr_scale):
+        key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+        key = jax.random.fold_in(key, state.step)
+        (_, (metrics, new_bn)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.state, batch,
+                                   labels, key)
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        metrics = jax.lax.pmean(metrics, DATA_AXIS)
+        # BN running stats are per-replica in the reference (DataParallel);
+        # we average them across replicas — strictly better statistics,
+        # identical in the single-device case.
+        new_bn = jax.lax.pmean(new_bn, DATA_AXIS)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: u * lr_scale, updates)
+        params = optax.apply_updates(state.params, updates)
+        return FinetuneState(params, new_bn, opt_state,
+                             state.step + 1), metrics
+
+    sharded = jax.shard_map(
+        device_step, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(), P()),
+        out_specs=(P(), P()), check_vma=False)
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+
+
+def make_finetune_eval_step(model_cfg: DPCConfig, eval_cfg: EvalConfig,
+                            mesh):
+    """Validation: eval-mode forward (running BN stats, no dropout)."""
+    dtype = dtype_of(model_cfg.compute_dtype)
+
+    def device_step(params, bn_state, batch, labels):
+        logits, _, _ = lc.apply_lc(
+            params, bn_state, batch, cfg=model_cfg,
+            num_classes=eval_cfg.num_classes, dropout=eval_cfg.dropout,
+            train=False, dtype=dtype)
+        logits = logits[:, 0, :]
+        return jax.lax.pmean({
+            "loss": softmax_xent(logits, labels),
+            "top1": _accuracy(logits, labels, 1),
+            "top5": _accuracy(logits, labels, 5)}, DATA_AXIS)
+
+    sharded = jax.shard_map(
+        device_step, mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(), check_vma=False)
+    return jax.jit(sharded)
+
+
+def make_test_forward(model_cfg: DPCConfig, eval_cfg: EvalConfig):
+    """Single-device jitted forward for dense test-time evaluation: the
+    window axis rides the batch axis (``eval/test.py:314-321``)."""
+    dtype = dtype_of(model_cfg.compute_dtype)
+
+    @jax.jit
+    def forward(params, bn_state, windows):
+        logits, _, _ = lc.apply_lc(
+            params, bn_state, windows, cfg=model_cfg,
+            num_classes=eval_cfg.num_classes, dropout=eval_cfg.dropout,
+            train=False, dtype=dtype)
+        return logits[:, 0, :]
+
+    return forward

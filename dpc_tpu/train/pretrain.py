@@ -1,0 +1,285 @@
+"""DPC self-supervised pretraining driver.
+
+CLI + epoch loop with capability parity with ``dpc/main.py``: flag set
+(``:27-47``), train/validate epochs with NCE top-1/3/5 proxy metrics
+(``:187-282``), tensorboard scalars + denormalised input-clip image grids
+(``:155-164,200-206``), rolling latest+best checkpoints with resume and
+transfer-pretrain loading (``:88-112,166-174``), hyperparameter-encoded
+experiment directories (``:325-339``) — plus the config JSON serialised
+into the run dir, which the reference never records.
+
+Usage examples:
+  python -m dpc_tpu.train.pretrain --dataset synthetic --epochs 2 \
+      --batch_size 8 --img_dim 64
+  python -m dpc_tpu.train.pretrain --dataset ucf101 --data_root /data \
+      --net resnet18 --img_dim 128 --batch_size 128 --epochs 300
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dpc_tpu.core import checkpoint as ckpt
+from dpc_tpu.core.config import (DataConfig, DPCConfig, ExperimentConfig,
+                                 TrainConfig, experiment_name)
+from dpc_tpu.data import augment
+from dpc_tpu.data.loader import ClipLoader
+from dpc_tpu.data.synthetic import SyntheticVideoDataset
+from dpc_tpu.data.video_dataset import make_dataset
+from dpc_tpu.parallel import mesh as meshlib
+from dpc_tpu.train import optim, pretrain_step
+from dpc_tpu.train.metrics import MetricBundle, denormalize
+from dpc_tpu.utils import torch_compat
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="DPC pretraining (TPU-native)")
+    # reference flag set (dpc/main.py:27-47)
+    p.add_argument("--net", default="resnet18")
+    p.add_argument("--model", default="dpc-rnn")
+    p.add_argument("--dataset", default="ucf101",
+                   choices=["ucf101", "hmdb51", "k400", "synthetic"])
+    p.add_argument("--seq_len", default=5, type=int)
+    p.add_argument("--num_seq", default=8, type=int)
+    p.add_argument("--pred_step", default=3, type=int)
+    p.add_argument("--ds", default=3, type=int,
+                   help="frame downsample rate (k400 forces 5)")
+    p.add_argument("--batch_size", default=4, type=int,
+                   help="GLOBAL batch size")
+    p.add_argument("--lr", default=1e-3, type=float)
+    p.add_argument("--wd", default=1e-5, type=float)
+    p.add_argument("--resume", default="", help="run dir to resume from")
+    p.add_argument("--pretrain", default="",
+                   help="checkpoint (.pth.tar or run dir) to transfer-load")
+    p.add_argument("--epochs", default=10, type=int)
+    p.add_argument("--start-epoch", default=0, type=int)
+    p.add_argument("--print_freq", default=5, type=int)
+    p.add_argument("--reset_lr", action="store_true")
+    p.add_argument("--prefix", default="tmp")
+    p.add_argument("--train_what", default="all", choices=["all", "last"])
+    p.add_argument("--img_dim", default=128, type=int)
+    # TPU-native additions
+    p.add_argument("--data_root", default="")
+    p.add_argument("--negatives", default="local",
+                   choices=["local", "global"])
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--num_devices", default=0, type=int)
+    p.add_argument("--cross_replica_bn", action="store_true")
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--num_workers", default=8, type=int)
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--unit_test", action="store_true",
+                   help="32-video subsample for smoke runs")
+    p.add_argument("--steps_per_epoch", default=0, type=int,
+                   help="cap steps per epoch (0 = full epoch)")
+    p.add_argument("--log_dir", default="log")
+    return p
+
+
+def config_from_args(args) -> ExperimentConfig:
+    downsample = 5 if args.dataset == "k400" else args.ds  # dpc/main.py:293
+    return ExperimentConfig(
+        model=DPCConfig(img_dim=args.img_dim, num_seq=args.num_seq,
+                        seq_len=args.seq_len, pred_step=args.pred_step,
+                        network=args.net, compute_dtype=args.compute_dtype),
+        data=DataConfig(dataset=args.dataset, data_root=args.data_root,
+                        downsample=downsample,
+                        num_workers=args.num_workers),
+        train=TrainConfig(batch_size=args.batch_size, lr=args.lr,
+                          wd=args.wd, epochs=args.epochs,
+                          start_epoch=args.start_epoch,
+                          print_freq=args.print_freq,
+                          train_what=args.train_what, prefix=args.prefix,
+                          resume=args.resume, pretrain=args.pretrain,
+                          reset_lr=args.reset_lr, seed=args.seed,
+                          num_devices=args.num_devices,
+                          negatives=args.negatives,
+                          cross_replica_bn=args.cross_replica_bn,
+                          remat=args.remat),
+    )
+
+
+def get_dataset(cfg: ExperimentConfig, mode: str, unit_test: bool = False):
+    m, d = cfg.model, cfg.data
+    if d.dataset == "synthetic":
+        return SyntheticVideoDataset(
+            transform=augment.Compose([
+                augment.RandomSizedCrop(size=m.img_dim, consistent=True,
+                                        p=1.0),
+                augment.Normalize()]),
+            num_videos=d.synthetic_num_videos,
+            video_len=d.synthetic_video_len,
+            frame_size=max(m.img_dim, 130),
+            num_seq=m.num_seq, seq_len=m.seq_len,
+            downsample=d.downsample, mode=mode,
+            seed=1 if mode == "val" else 0)
+    transform = augment.pretrain_transform(d.dataset, m.img_dim)
+    big = d.dataset == "k400" and m.img_dim > 140  # dpc/main.py:288
+    return make_dataset(d.dataset, d.data_root, mode, transform,
+                        num_seq=m.num_seq, seq_len=m.seq_len,
+                        downsample=d.downsample, big=big,
+                        unit_test=unit_test,
+                        val_subsample=d.val_subsample)
+
+
+def run_epoch(step_fn, state, loader, mesh, key, *, train: bool,
+              eval_fn=None, params_for_eval=None, print_freq: int = 5,
+              epoch: int = 0, writer=None, iteration: int = 0,
+              max_steps: int = 0):
+    meters = MetricBundle()
+    tic = time.time()
+    for idx, batch in enumerate(loader):
+        if max_steps and idx >= max_steps:
+            break
+        xb = meshlib.shard_batch(mesh, jnp.asarray(batch))
+        if train:
+            state, metrics = step_fn(state, xb, key)
+        else:
+            metrics = eval_fn(params_for_eval, xb)
+        metrics = {k: float(v) for k, v in metrics.items()}
+        meters.update(metrics, n=batch.shape[0])
+        if idx % print_freq == 0:
+            dt = time.time() - tic
+            tic = time.time()
+            mode = "train" if train else "val"
+            print(f"[{mode}] epoch {epoch} [{idx}/{len(loader)}] "
+                  + " ".join(f"{k} {v:.4f}" for k, v in metrics.items())
+                  + f" ({dt:.2f}s)")
+            if writer is not None and train:
+                writer.add_scalar("local/loss", metrics["loss"], iteration)
+                writer.add_scalar("local/accuracy", metrics["top1"],
+                                  iteration)
+                iteration += 1
+    return state, meters, iteration
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    m, t = cfg.model, cfg.train
+
+    mesh = meshlib.make_mesh(t.num_devices)
+    n_dev = mesh.shape["data"]
+    print(f"devices: {n_dev} × {jax.devices()[0].platform}; "
+          f"negatives={t.negatives}; dtype={m.compute_dtype}")
+    if t.batch_size % n_dev:
+        raise SystemExit(f"--batch_size {t.batch_size} must be divisible "
+                         f"by {n_dev} devices")
+
+    exp_dir = (args.resume if args.resume
+               else os.path.join(args.log_dir,
+                                 f"{args.prefix}_{experiment_name(cfg)}"))
+    model_dir = os.path.join(exp_dir, "model")
+    os.makedirs(exp_dir, exist_ok=True)
+    with open(os.path.join(exp_dir, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+
+    # model + optimizer
+    from dpc_tpu.models import dpc as dpc_model
+
+    key = jax.random.PRNGKey(t.seed)
+    params = dpc_model.init_dpc(key, m)
+    tx = optim.pretrain_optimizer(params, t.lr, t.wd, t.train_what)
+    if t.pretrain:
+        params = ckpt.load_pretrained(t.pretrain, params,
+                                      torch_compat.dpc_key_map)
+    state = pretrain_step.TrainState(params, tx.init(params),
+                                     jnp.zeros((), jnp.int32))
+
+    mgr = ckpt.make_manager(model_dir)
+    start_epoch, best_acc, iteration = t.start_epoch, 0.0, 0
+    if args.resume:
+        template = {"params": state.params, "opt_state": state.opt_state,
+                    "step": state.step, "best_acc": 0.0, "iteration": 0}
+        epoch0, payload = ckpt.restore_latest(mgr, template)
+        if epoch0 is not None:
+            params = payload["params"]
+            if t.reset_lr:  # fresh optimizer, keep params
+                state = pretrain_step.TrainState(
+                    params, tx.init(params), jnp.zeros((), jnp.int32))
+            else:
+                state = pretrain_step.TrainState(
+                    params, payload["opt_state"], payload["step"])
+            best_acc = float(payload["best_acc"])
+            iteration = int(payload["iteration"])
+            start_epoch = epoch0
+            print(f"resumed epoch {epoch0} (best_acc {best_acc:.4f})")
+
+    state = meshlib.replicate(mesh, state)
+    step_fn = pretrain_step.make_pretrain_step(m, t, mesh, tx)
+    eval_fn = pretrain_step.make_eval_step(m, t, mesh)
+
+    train_loader = ClipLoader(get_dataset(cfg, "train", args.unit_test),
+                              t.batch_size, num_workers=cfg.data.num_workers,
+                              seed=t.seed)
+    val_loader = ClipLoader(get_dataset(cfg, "val", args.unit_test),
+                            t.batch_size, num_workers=cfg.data.num_workers,
+                            seed=t.seed + 1)
+    print(f"train videos: {len(train_loader.dataset)}; "
+          f"val videos: {len(val_loader.dataset)}")
+
+    writer_train = writer_val = None
+    try:
+        from tensorboardX import SummaryWriter
+
+        writer_train = SummaryWriter(
+            logdir=os.path.join(exp_dir, "img", "train"))
+        writer_val = SummaryWriter(
+            logdir=os.path.join(exp_dir, "img", "val"))
+    except Exception as e:  # pragma: no cover
+        print(f"tensorboard disabled: {e}")
+
+    for epoch in range(start_epoch, t.epochs):
+        train_loader.set_epoch(epoch)
+        val_loader.set_epoch(epoch)
+        ekey = jax.random.fold_in(jax.random.PRNGKey(t.seed), epoch)
+
+        # log a denormalised input grid once per run (dpc/main.py:200-206)
+        if writer_train is not None and epoch == start_epoch:
+            sample = next(iter(train_loader))
+            grid = denormalize(sample[0].reshape(
+                -1, *sample.shape[-3:])[:16])
+            writer_train.add_images("input_seq", grid, epoch,
+                                    dataformats="NHWC")
+
+        state, meters, iteration = run_epoch(
+            step_fn, state, train_loader, mesh, ekey, train=True,
+            print_freq=t.print_freq, epoch=epoch, writer=writer_train,
+            iteration=iteration, max_steps=args.steps_per_epoch)
+        _, vmeters, _ = run_epoch(
+            step_fn, state, val_loader, mesh, ekey, train=False,
+            eval_fn=eval_fn, params_for_eval=state.params,
+            print_freq=t.print_freq, epoch=epoch,
+            max_steps=args.steps_per_epoch)
+
+        tr, va = meters.local_averages(), vmeters.local_averages()
+        print(f"epoch {epoch}: train loss {tr.get('loss', 0):.4f} "
+              f"top1 {tr.get('top1', 0):.4f} | val loss "
+              f"{va.get('loss', 0):.4f} top1 {va.get('top1', 0):.4f}")
+        if writer_train is not None:
+            for k, v in tr.items():
+                writer_train.add_scalar(f"global/{k}", v, epoch)
+            for k, v in va.items():
+                writer_val.add_scalar(f"global/{k}", v, epoch)
+
+        val_acc = va.get("top1", 0.0)
+        best_acc = max(best_acc, val_acc)
+        host_state = jax.device_get(state)
+        ckpt.save(mgr, epoch + 1,
+                  {"params": host_state.params,
+                   "opt_state": host_state.opt_state,
+                   "step": host_state.step,
+                   "best_acc": best_acc, "iteration": iteration},
+                  metrics={"val_acc": val_acc})
+    print(f"Training from ep {start_epoch} to ep {t.epochs} finished")
+
+
+if __name__ == "__main__":
+    main()

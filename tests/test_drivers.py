@@ -1,0 +1,67 @@
+"""End-to-end driver smoke tests: pretrain → resume → finetune → dense test
+on the synthetic dataset, tiny config, virtual 8-device CPU mesh."""
+
+import glob
+import os
+
+import pytest
+
+
+TINY = ["--dataset", "synthetic", "--batch_size", "8", "--img_dim", "32",
+        "--num_seq", "3", "--seq_len", "4", "--compute_dtype", "float32",
+        "--num_workers", "2", "--print_freq", "2", "--steps_per_epoch", "2"]
+
+
+@pytest.fixture(scope="module")
+def pretrain_dir(tmp_path_factory):
+    from dpc_tpu.train import pretrain
+
+    log_dir = str(tmp_path_factory.mktemp("pre"))
+    pretrain.main(TINY + ["--pred_step", "1", "--epochs", "1",
+                          "--log_dir", log_dir])
+    (exp,) = glob.glob(os.path.join(log_dir, "*"))
+    return exp
+
+
+def test_pretrain_writes_run_artifacts(pretrain_dir):
+    assert os.path.exists(os.path.join(pretrain_dir, "config.json"))
+    assert glob.glob(os.path.join(pretrain_dir, "model", "*"))
+
+
+def test_pretrain_resume(pretrain_dir, capsys):
+    from dpc_tpu.train import pretrain
+
+    pretrain.main(TINY + ["--pred_step", "1", "--epochs", "2",
+                          "--resume", pretrain_dir])
+    out = capsys.readouterr().out
+    assert "resumed epoch 1" in out
+    assert "Training from ep 1 to ep 2 finished" in out
+
+
+def test_finetune_and_dense_test(pretrain_dir, tmp_path, capsys):
+    from dpc_tpu.train import evaluate
+
+    log_dir = str(tmp_path / "eval")
+    evaluate.main(TINY + ["--epochs", "1", "--log_dir", log_dir,
+                          "--pretrain", pretrain_dir,
+                          "--train_what", "ft"])
+    out = capsys.readouterr().out
+    assert "Finetune from ep 0 to ep 1 finished" in out
+
+    (run,) = glob.glob(os.path.join(log_dir, "*"))
+    evaluate.main(TINY + ["--log_dir", log_dir, "--test", run])
+    out = capsys.readouterr().out
+    assert "[test] loss" in out
+    assert os.path.exists(os.path.join(run, "test_log.md"))
+    assert os.path.exists(os.path.join(run, "confusion_matrix.svg"))
+
+
+def test_linear_probe_freezes_trunk(pretrain_dir, tmp_path, capsys):
+    from dpc_tpu.train import evaluate
+
+    log_dir = str(tmp_path / "probe")
+    evaluate.main(TINY + ["--epochs", "1", "--log_dir", log_dir,
+                          "--pretrain", pretrain_dir,
+                          "--train_what", "last"])
+    out = capsys.readouterr().out
+    assert "Finetune from ep 0 to ep 1 finished" in out
