@@ -1,0 +1,75 @@
+"""Benchmark: DPC pretrain training-step throughput on the real chip.
+
+Prints ONE JSON line:
+  {"metric": "clips/sec/chip", "value": N, "unit": "clips/s",
+   "vs_baseline": N}
+
+Baseline: the reference trains R18-128 K400 (~240k usable clips/epoch,
+300 epochs) in >1 week on 4× P40 (README.md:68) ⇒ ~30 clips/sec/GPU.
+``vs_baseline`` is measured clips/sec/chip divided by 30 (BASELINE.json
+asks for ≥5×, i.e. ≥150).
+
+A "clip" is one training sample: num_seq=8 blocks × seq_len=5 frames at
+128² — the full forward+backward+Adam update, measured steady-state with
+device-resident inputs (the input pipeline is benchmarked separately by
+``python -m dpc_tpu.train.bench_input``).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main() -> None:
+    from dpc_tpu.core.config import DPCConfig, TrainConfig
+    from dpc_tpu.models import dpc
+    from dpc_tpu.parallel import mesh as meshlib
+    from dpc_tpu.train import optim, pretrain_step
+
+    batch = 32
+    cfg = DPCConfig(compute_dtype="bfloat16")  # flagship R18-128 8×5 pred3
+    tcfg = TrainConfig(batch_size=batch, lr=1e-3, wd=1e-5,
+                       negatives="local", donate=True)
+    mesh = meshlib.make_mesh(1)
+
+    params = dpc.init_dpc(jax.random.PRNGKey(0), cfg)
+    tx = optim.pretrain_optimizer(params, tcfg.lr, tcfg.wd)
+    state = meshlib.replicate(mesh, pretrain_step.TrainState(
+        params, tx.init(params), jnp.zeros((), jnp.int32)))
+    step = pretrain_step.make_pretrain_step(cfg, tcfg, mesh, tx)
+
+    x = jax.random.normal(
+        jax.random.PRNGKey(1),
+        (batch, cfg.num_seq, cfg.seq_len, cfg.img_dim, cfg.img_dim, 3),
+        jnp.float32)
+    xb = meshlib.shard_batch(mesh, x)
+    key = jax.random.PRNGKey(2)
+
+    # compile + warmup
+    state, m = step(state, xb, key)
+    jax.block_until_ready(m)
+    state, m = step(state, xb, key)
+    jax.block_until_ready(m)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, xb, key)
+    jax.block_until_ready(m)
+    dt = (time.perf_counter() - t0) / iters
+
+    clips_per_sec = batch / dt
+    print(json.dumps({
+        "metric": "clips/sec/chip",
+        "value": round(clips_per_sec, 2),
+        "unit": "clips/s",
+        "vs_baseline": round(clips_per_sec / 30.0, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""Input-pipeline throughput benchmark (host side).
+
+The reference's bottleneck crutch is 32 DataLoader worker processes each
+decoding 40 JPEGs + running the PIL transform chain per sample (SURVEY §7
+hard-part 4).  This tool measures OUR host pipeline in clips/sec so the
+host-vs-chip balance is visible:
+
+  python -m dpc_tpu.train.bench_input --dataset synthetic
+  python -m dpc_tpu.train.bench_input --dataset ucf101 --data_root /data
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", default="synthetic")
+    p.add_argument("--data_root", default="")
+    p.add_argument("--img_dim", default=128, type=int)
+    p.add_argument("--batch_size", default=32, type=int)
+    p.add_argument("--num_workers", default=8, type=int)
+    p.add_argument("--batches", default=8, type=int)
+    args = p.parse_args(argv)
+
+    from dpc_tpu.data import augment
+    from dpc_tpu.data.loader import ClipLoader
+
+    if args.dataset == "synthetic":
+        from dpc_tpu.data.synthetic import SyntheticVideoDataset
+
+        ds = SyntheticVideoDataset(
+            transform=augment.pretrain_transform("k400", args.img_dim),
+            num_videos=max(256, args.batch_size * args.batches),
+            video_len=256, frame_size=150)
+    else:
+        from dpc_tpu.data.video_dataset import make_dataset
+
+        ds = make_dataset(
+            args.dataset, args.data_root, "train",
+            augment.pretrain_transform(args.dataset, args.img_dim))
+
+    loader = ClipLoader(ds, args.batch_size, num_workers=args.num_workers)
+    it = iter(loader)
+    next(it)  # warm the pool
+    t0 = time.perf_counter()
+    n = 0
+    for _ in range(args.batches):
+        batch = next(it)
+        n += batch.shape[0] if not isinstance(batch, tuple) \
+            else batch[0].shape[0]
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "input clips/sec (host)",
+        "value": round(n / dt, 2),
+        "unit": "clips/s",
+        "workers": args.num_workers,
+    }))
+
+
+if __name__ == "__main__":
+    main()
