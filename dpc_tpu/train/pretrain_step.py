@@ -31,8 +31,8 @@ from jax.sharding import PartitionSpec as P
 
 from dpc_tpu.core.config import DPCConfig, TrainConfig, dtype_of
 from dpc_tpu.models import dpc
-from dpc_tpu.ops import nce
-from dpc_tpu.parallel.mesh import DATA_AXIS
+from dpc_tpu.ops import nce, sharded_nce
+from dpc_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 Params = Any
 
@@ -75,10 +75,12 @@ def make_pretrain_step(model_cfg: DPCConfig, train_cfg: TrainConfig,
     """
     dtype = dtype_of(model_cfg.compute_dtype)
     n_data = mesh.shape[DATA_AXIS]
+    n_model = mesh.shape.get(MODEL_AXIS, 1)
     local_b = train_cfg.batch_size // n_data
     local_targets = jnp.asarray(nce.nce_targets(
         local_b, model_cfg.pred_step, model_cfg.sq))
     bn_axis = DATA_AXIS if train_cfg.cross_replica_bn else None
+    grad_axes = (DATA_AXIS, MODEL_AXIS) if n_model > 1 else DATA_AXIS
 
     def fwd(params, batch, key):
         return dpc.apply_dpc(params, batch, cfg=model_cfg, train=True,
@@ -91,22 +93,27 @@ def make_pretrain_step(model_cfg: DPCConfig, train_cfg: TrainConfig,
 
     def loss_fn(params, batch, key):
         score, pred, gt = fwd(params, batch, key)
+        if train_cfg.negatives == "global" and n_model > 1:
+            # tensor/sequence-parallel scoring: candidate axis sharded
+            # over 'model', sharded-softmax combine (ops/sharded_nce.py)
+            return sharded_nce.sharded_nce_loss(
+                pred.astype(jnp.float32), gt.astype(jnp.float32),
+                data_axis=DATA_AXIS, model_axis=MODEL_AXIS)
         if train_cfg.negatives == "global" and n_data > 1:
             score, targets = _global_score_and_targets(
                 pred.astype(jnp.float32), gt.astype(jnp.float32),
                 model_cfg, DATA_AXIS)
         else:
             targets = local_targets
-        loss, metrics = nce.nce_loss(score, targets)
-        return loss, metrics
+        return nce.nce_loss(score, targets)
 
     def device_step(state: TrainState, batch, key):
         key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
         key = jax.random.fold_in(key, state.step)
         (loss, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, batch, key)
-        grads = jax.lax.pmean(grads, DATA_AXIS)
-        metrics = jax.lax.pmean({"loss": loss, **metrics}, DATA_AXIS)
+        grads = jax.lax.pmean(grads, grad_axes)
+        metrics = jax.lax.pmean({"loss": loss, **metrics}, grad_axes)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), metrics

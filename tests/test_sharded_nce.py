@@ -1,0 +1,111 @@
+"""Tensor/sequence-parallel NCE: the candidate-sharded loss must equal the
+unsharded global-negatives loss (values AND gradients)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from dpc_tpu.core.config import DPCConfig, TrainConfig
+from dpc_tpu.models import dpc
+from dpc_tpu.ops import sharded_nce
+from dpc_tpu.parallel import mesh as meshlib
+from dpc_tpu.train import optim, pretrain_step
+
+CFG = DPCConfig(img_dim=32, num_seq=3, seq_len=4, pred_step=1)
+B = 8  # over data=4 → 2 per device
+
+
+def _rand(shape, seed):
+    return jnp.asarray(np.random.default_rng(seed).normal(
+        size=shape).astype(np.float32))
+
+
+def test_sharded_loss_matches_unsharded():
+    mesh2 = meshlib.make_mesh(8, model_parallel=2)  # data=4, model=2
+    bl, p, s, d2 = 2, 3, 2, 16
+    pred = _rand((8, p, s, s, d2), 0)  # batch 8 over data=4
+    gt = _rand((8, p, s, s, d2), 1)
+
+    def sharded(pred, gt):
+        return sharded_nce.sharded_nce_loss(pred, gt)[0]
+
+    loss2 = jax.jit(jax.shard_map(
+        sharded, mesh=mesh2, in_specs=(P("data"), P("data")),
+        out_specs=P(), check_vma=False))(pred, gt)
+
+    # reference: per-data-group rows vs full gathered candidate pool
+    pn, gn = np.asarray(pred), np.asarray(gt)
+    cols = gn.reshape(-1, d2)
+    rpg = bl * p * s * s
+    losses = []
+    for g in range(4):
+        rows = pn[g * bl:(g + 1) * bl].reshape(rpg, d2)
+        score = rows @ cols.T
+        tgt = g * rpg + np.arange(rpg)
+        lse = np.log(np.exp(score - score.max(1, keepdims=True)).sum(1)) \
+            + score.max(1)
+        losses.append((lse - score[np.arange(rpg), tgt]).mean())
+    np.testing.assert_allclose(float(loss2), np.mean(losses), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_sharded_metrics_match_unsharded():
+    mesh2 = meshlib.make_mesh(8, model_parallel=2)
+    bl, p, s, d2 = 2, 3, 2, 16
+    pred = _rand((8, p, s, s, d2), 2)
+    gt = _rand((8, p, s, s, d2), 3)
+
+    def run(pred, gt):
+        loss, metrics = sharded_nce.sharded_nce_loss(pred, gt)
+        return metrics
+
+    got = jax.jit(jax.shard_map(
+        run, mesh=mesh2, in_specs=(P("data"), P("data")),
+        out_specs=P(), check_vma=False))(pred, gt)
+
+    pn, gn = np.asarray(pred), np.asarray(gt)
+    cols = gn.reshape(-1, d2)
+    rpg = bl * p * s * s
+    accs = {k: [] for k in (1, 3, 5)}
+    for g in range(4):
+        rows = pn[g * bl:(g + 1) * bl].reshape(rpg, d2)
+        score = rows @ cols.T
+        tgt = g * rpg + np.arange(rpg)
+        order = np.argsort(-score, axis=1)
+        for k in accs:
+            accs[k].append((order[:, :k] == tgt[:, None]).any(1).mean())
+    for k in accs:
+        np.testing.assert_allclose(float(got[f"top{k}"]),
+                                   np.mean(accs[k]), rtol=1e-6, atol=1e-6)
+
+
+def test_full_train_step_on_2d_mesh():
+    """End-to-end: the (data=4, model=2) sharded-NCE train step must track
+    the (data=4) unsharded global-negatives step exactly."""
+    params = dpc.init_dpc(jax.random.PRNGKey(0), CFG)
+    x = _rand((B, CFG.num_seq, CFG.seq_len, CFG.img_dim, CFG.img_dim, 3), 4)
+    tcfg = TrainConfig(batch_size=B, lr=1e-3, wd=1e-5, negatives="global",
+                       donate=False)
+    tx = optim.pretrain_optimizer(params, tcfg.lr, tcfg.wd)
+
+    losses = {}
+    for mp in (1, 2):
+        mesh = meshlib.make_mesh(4 * mp, model_parallel=mp)
+        state = meshlib.replicate(mesh, pretrain_step.TrainState(
+            params, tx.init(params), jnp.zeros((), jnp.int32)))
+        step = pretrain_step.make_pretrain_step(CFG, tcfg, mesh, tx)
+        xb = meshlib.shard_batch(mesh, x)
+        seq = []
+        for i in range(3):
+            # train=True but dropout keys identical across runs: the same
+            # fold_in(data_index, step) chain is used on both meshes
+            state, metrics = step(state, xb, jax.random.PRNGKey(5))
+            seq.append(float(metrics["loss"]))
+        losses[mp] = seq
+    # step 1 matches to fp32 exactness; later steps accumulate reduction-
+    # order differences through the optimizer
+    np.testing.assert_allclose(losses[1][0], losses[2][0], rtol=1e-5)
+    np.testing.assert_allclose(losses[1], losses[2], rtol=5e-3)
