@@ -37,6 +37,7 @@ class DPCConfig:
     gru_kernel_size: int = 1
     gru_num_layers: int = 1
     gru_dropout: float = 0.1
+    gru_impl: str = "scan"  # "scan" | "pallas" (fused recurrence kernel)
     # Numerics
     compute_dtype: str = "float32"  # "bfloat16" for TPU speed; params stay f32
 
@@ -127,6 +128,7 @@ class TrainConfig:
     # Parallelism (TPU-native; the reference's only strategy is DataParallel)
     num_devices: int = 0         # 0 = all visible devices
     negatives: str = "local"     # "local" (= reference per-GPU semantics) | "global"
+    fused_nce: bool = False      # Pallas flash-NCE kernel (ops/nce_pallas.py)
     cross_replica_bn: bool = False  # reference BN is per-replica (unsynced)
     remat: bool = False          # jax.checkpoint the backbone to save HBM
     donate: bool = True

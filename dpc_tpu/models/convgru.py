@@ -69,12 +69,17 @@ def apply_convgru(params: Params, x: jax.Array,
                   hidden: Optional[list[jax.Array]] = None, *,
                   kernel_size: int = 1, dropout: float = 0.1,
                   train: bool = True, key: Optional[jax.Array] = None,
-                  dtype=None) -> tuple[jax.Array, jax.Array]:
+                  dtype=None, impl: str = "scan"
+                  ) -> tuple[jax.Array, jax.Array]:
     """Run the stack over a block sequence.
 
     x: ``[B, T, H, W, C]``;  hidden: optional per-layer ``[B, H, W, Ch]``
     initial states.  Returns ``(outputs [B, T, H, W, Ch],
     last_states [B, num_layers, H, W, Ch])``.
+
+    impl: 'scan' (lax.scan over fused-gate steps) or 'pallas' (whole
+    recurrence in one Pallas kernel per layer; kernel_size=1 only —
+    numerically identical incl. dropout, see ops/convgru_pallas.py).
     """
     cells = params["cells"]
     num_layers = len(cells)
@@ -83,6 +88,20 @@ def apply_convgru(params: Params, x: jax.Array,
     if hidden is None:
         hidden = [jnp.zeros((b, hgt, wid, ch), x.dtype)] * num_layers
     use_dropout = train and dropout > 0.0 and key is not None
+
+    if impl == "pallas" and kernel_size == 1:
+        from dpc_tpu.ops import convgru_pallas
+
+        cur = x
+        last_states = []
+        for li, cell in enumerate(cells):
+            lkey = (jax.random.fold_in(key, li) if use_dropout else None)
+            cur, h_last = convgru_pallas.fused_convgru_layer(
+                cell, cur, hidden[li].astype(cur.dtype),
+                dropout=dropout if use_dropout else 0.0,
+                train=train, key=lkey)
+            last_states.append(h_last)
+        return cur, jnp.stack(last_states, axis=1)
 
     seq = jnp.moveaxis(x, 1, 0)  # time-major [T, B, H, W, C]
     last_states = []

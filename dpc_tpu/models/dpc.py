@@ -101,7 +101,8 @@ def apply_dpc(params: Params, x: jax.Array, *, cfg: DPCConfig,
 
     _, last_states = convgru.apply_convgru(
         params["agg"], feature[:, :ctx], kernel_size=cfg.gru_kernel_size,
-        dropout=cfg.gru_dropout, train=train, key=kgru, dtype=dtype)
+        dropout=cfg.gru_dropout, train=train, key=kgru, dtype=dtype,
+        impl=cfg.gru_impl)
     hidden = [last_states[:, li] for li in range(cfg.gru_num_layers)]
 
     def rollout_step(carry, i):
@@ -154,5 +155,5 @@ def extract_context(params: Params, x: jax.Array, *, cfg: DPCConfig,
     _, last_states = convgru.apply_convgru(
         params["agg"], feature[:, :num_blocks],
         kernel_size=cfg.gru_kernel_size, dropout=cfg.gru_dropout,
-        train=train, key=key, dtype=dtype)
+        train=train, key=key, dtype=dtype, impl=cfg.gru_impl)
     return last_states[:, -1], new_state

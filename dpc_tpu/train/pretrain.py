@@ -71,6 +71,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
     p.add_argument("--num_devices", default=0, type=int)
+    p.add_argument("--model_parallel", default=1, type=int,
+                   help="mesh 'model' axis size (candidate-sharded NCE; "
+                        "requires --negatives global)")
     p.add_argument("--cross_replica_bn", action="store_true")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--num_workers", default=8, type=int)
@@ -165,9 +168,9 @@ def main(argv=None) -> None:
     cfg = config_from_args(args)
     m, t = cfg.model, cfg.train
 
-    mesh = meshlib.make_mesh(t.num_devices)
+    mesh = meshlib.make_mesh(t.num_devices, args.model_parallel)
     n_dev = mesh.shape["data"]
-    print(f"devices: {n_dev} × {jax.devices()[0].platform}; "
+    print(f"devices: {dict(mesh.shape)} × {jax.devices()[0].platform}; "
           f"negatives={t.negatives}; dtype={m.compute_dtype}")
     if t.batch_size % n_dev:
         raise SystemExit(f"--batch_size {t.batch_size} must be divisible "

@@ -100,12 +100,27 @@ def make_pretrain_step(model_cfg: DPCConfig, train_cfg: TrainConfig,
                 pred.astype(jnp.float32), gt.astype(jnp.float32),
                 data_axis=DATA_AXIS, model_axis=MODEL_AXIS)
         if train_cfg.negatives == "global" and n_data > 1:
+            if train_cfg.fused_nce:
+                from dpc_tpu.ops import nce_pallas
+
+                gt_all = jax.lax.all_gather(gt.astype(jnp.float32),
+                                            DATA_AXIS, axis=0, tiled=True)
+                rpd = local_targets.shape[0]
+                targets = (jax.lax.axis_index(DATA_AXIS) * rpd
+                           + local_targets)
+                return nce_pallas.fused_nce_loss(
+                    pred.astype(jnp.float32), gt_all, targets)
             score, targets = _global_score_and_targets(
                 pred.astype(jnp.float32), gt.astype(jnp.float32),
                 model_cfg, DATA_AXIS)
-        else:
-            targets = local_targets
-        return nce.nce_loss(score, targets)
+            return nce.nce_loss(score, targets)
+        if train_cfg.fused_nce:
+            from dpc_tpu.ops import nce_pallas
+
+            return nce_pallas.fused_nce_loss(pred.astype(jnp.float32),
+                                             gt.astype(jnp.float32),
+                                             local_targets)
+        return nce.nce_loss(score, local_targets)
 
     def device_step(state: TrainState, batch, key):
         key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
