@@ -129,6 +129,8 @@ class TrainConfig:
     num_devices: int = 0         # 0 = all visible devices
     negatives: str = "local"     # "local" (= reference per-GPU semantics) | "global"
     fused_nce: bool = False      # Pallas flash-NCE kernel (ops/nce_pallas.py)
+    device_augment: bool = False  # crop/flip/gray/jitter inside the step
+                                  # (expects uint8 pre-crop batches)
     cross_replica_bn: bool = False  # reference BN is per-replica (unsynced)
     remat: bool = False          # jax.checkpoint the backbone to save HBM
     donate: bool = True

@@ -109,17 +109,22 @@ def _forward_pallas(x_seq, h0, weights, masks, r_tile: int):
 
 @jax.custom_vjp
 def _fused_core(x_seq, h0, wzr_x, wzr_h, b_zr, wo_x, wo_h, b_o, masks):
-    r = x_seq.shape[1]
-    r_tile = _pick_tile(r)
+    t, r, cin = x_seq.shape
+    ch = h0.shape[-1]
+    r_tile = _pick_tile(r, t, cin, ch)
     return _forward_pallas(x_seq, h0, (wzr_x, wzr_h, b_zr, wo_x, wo_h,
                                        b_o), masks, r_tile)
 
 
-def _pick_tile(r: int) -> int:
+def _pick_tile(r: int, t: int, cin: int, ch: int,
+               budget_bytes: int = 10 * 2 ** 20) -> int:
+    """Largest divisor tile fitting VMEM: the x/mask/out blocks are
+    double-buffered by the pipeline, so ≈ 2·t·r_tile·(cin+2ch)·4 bytes."""
     for cand in (512, 256, 128, 64, 32, 16, 8):
-        if r % cand == 0:
+        if r % cand == 0 and 2 * t * cand * (cin + 2 * ch) * 4 \
+                <= budget_bytes:
             return cand
-    return r
+    return min(r, 8)
 
 
 def _core_fwd(x_seq, h0, wzr_x, wzr_h, b_zr, wo_x, wo_h, b_o, masks):

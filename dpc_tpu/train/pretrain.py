@@ -75,6 +75,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="mesh 'model' axis size (candidate-sharded NCE; "
                         "requires --negatives global)")
     p.add_argument("--cross_replica_bn", action="store_true")
+    p.add_argument("--device_augment", action="store_true",
+                   help="run crop/flip/gray/jitter on device inside the "
+                        "step; host workers only decode+resize")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--num_workers", default=8, type=int)
     p.add_argument("--seed", default=0, type=int)
@@ -105,12 +108,32 @@ def config_from_args(args) -> ExperimentConfig:
                           num_devices=args.num_devices,
                           negatives=args.negatives,
                           cross_replica_bn=args.cross_replica_bn,
+                          device_augment=args.device_augment,
                           remat=args.remat),
     )
 
 
 def get_dataset(cfg: ExperimentConfig, mode: str, unit_test: bool = False):
     m, d = cfg.model, cfg.data
+    if cfg.train.device_augment:
+        # host: decode + fixed-size resize only; augmentation runs on
+        # device inside the step (data/device_augment.py)
+        pre = int(round(m.img_dim * 1.25))
+        host_tf = augment.Compose([augment.Scale(size=(pre, pre))])
+        if d.dataset == "synthetic":
+            return SyntheticVideoDataset(
+                transform=host_tf, num_videos=d.synthetic_num_videos,
+                video_len=d.synthetic_video_len,
+                frame_size=max(m.img_dim, 130),
+                num_seq=m.num_seq, seq_len=m.seq_len,
+                downsample=d.downsample, mode=mode,
+                seed=1 if mode == "val" else 0)
+        big = d.dataset == "k400" and m.img_dim > 140
+        return make_dataset(d.dataset, d.data_root, mode, host_tf,
+                            num_seq=m.num_seq, seq_len=m.seq_len,
+                            downsample=d.downsample, big=big,
+                            unit_test=unit_test,
+                            val_subsample=d.val_subsample)
     if d.dataset == "synthetic":
         return SyntheticVideoDataset(
             transform=augment.Compose([
@@ -145,7 +168,8 @@ def run_epoch(step_fn, state, loader, mesh, key, *, train: bool,
         if train:
             state, metrics = step_fn(state, xb, key)
         else:
-            metrics = eval_fn(params_for_eval, xb)
+            metrics = eval_fn(params_for_eval, xb,
+                              jax.random.fold_in(key, idx))
         metrics = {k: float(v) for k, v in metrics.items()}
         meters.update(metrics, n=batch.shape[0])
         if idx % print_freq == 0:

@@ -30,8 +30,9 @@ import optax
 from jax.sharding import PartitionSpec as P
 
 from dpc_tpu.core.config import DPCConfig, TrainConfig, dtype_of
+from dpc_tpu.data import device_augment
 from dpc_tpu.models import dpc
-from dpc_tpu.ops import nce, sharded_nce
+from dpc_tpu.ops import nce, nce_pallas, sharded_nce
 from dpc_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 Params = Any
@@ -101,8 +102,6 @@ def make_pretrain_step(model_cfg: DPCConfig, train_cfg: TrainConfig,
                 data_axis=DATA_AXIS, model_axis=MODEL_AXIS)
         if train_cfg.negatives == "global" and n_data > 1:
             if train_cfg.fused_nce:
-                from dpc_tpu.ops import nce_pallas
-
                 gt_all = jax.lax.all_gather(gt.astype(jnp.float32),
                                             DATA_AXIS, axis=0, tiled=True)
                 rpd = local_targets.shape[0]
@@ -115,8 +114,6 @@ def make_pretrain_step(model_cfg: DPCConfig, train_cfg: TrainConfig,
                 model_cfg, DATA_AXIS)
             return nce.nce_loss(score, targets)
         if train_cfg.fused_nce:
-            from dpc_tpu.ops import nce_pallas
-
             return nce_pallas.fused_nce_loss(pred.astype(jnp.float32),
                                              gt.astype(jnp.float32),
                                              local_targets)
@@ -125,6 +122,10 @@ def make_pretrain_step(model_cfg: DPCConfig, train_cfg: TrainConfig,
     def device_step(state: TrainState, batch, key):
         key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
         key = jax.random.fold_in(key, state.step)
+        if train_cfg.device_augment:
+            key, akey = jax.random.split(key)
+            batch = device_augment.augment_batch(akey, batch,
+                                                 model_cfg.img_dim)
         (loss, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, batch, key)
         grads = jax.lax.pmean(grads, grad_axes)
@@ -152,7 +153,11 @@ def make_eval_step(model_cfg: DPCConfig, train_cfg: TrainConfig, mesh):
     local_targets = jnp.asarray(nce.nce_targets(
         local_b, model_cfg.pred_step, model_cfg.sq))
 
-    def device_step(params, batch):
+    def device_step(params, batch, key):
+        if train_cfg.device_augment:
+            key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+            batch = device_augment.augment_batch(key, batch,
+                                                 model_cfg.img_dim)
         score, pred, gt = dpc.apply_dpc(params, batch, cfg=model_cfg,
                                         train=False, dtype=dtype)
         if train_cfg.negatives == "global" and n_data > 1:
@@ -165,8 +170,8 @@ def make_eval_step(model_cfg: DPCConfig, train_cfg: TrainConfig, mesh):
         return jax.lax.pmean({"loss": loss, **metrics}, DATA_AXIS)
 
     sharded = jax.shard_map(device_step, mesh=mesh,
-                            in_specs=(P(), P(DATA_AXIS)), out_specs=P(),
-                            check_vma=False)
+                            in_specs=(P(), P(DATA_AXIS), P()),
+                            out_specs=P(), check_vma=False)
     return jax.jit(sharded)
 
 

@@ -68,7 +68,8 @@ def test_local_negatives_match_per_group_reference(mesh, setup):
     params, x = setup
     tcfg = TrainConfig(batch_size=B, negatives="local")
     ev = pretrain_step.make_eval_step(CFG, tcfg, mesh)
-    got = ev(meshlib.replicate(mesh, params), meshlib.shard_batch(mesh, x))
+    got = ev(meshlib.replicate(mesh, params), meshlib.shard_batch(mesh, x),
+             jax.random.PRNGKey(0))
     want = _per_group_reference(params, x, mesh.shape["data"], "local")
     np.testing.assert_allclose(float(got["loss"]), want, rtol=1e-5,
                                atol=1e-5)
@@ -78,7 +79,8 @@ def test_global_negatives_match_per_group_reference(mesh, setup):
     params, x = setup
     tcfg = TrainConfig(batch_size=B, negatives="global")
     ev = pretrain_step.make_eval_step(CFG, tcfg, mesh)
-    got = ev(meshlib.replicate(mesh, params), meshlib.shard_batch(mesh, x))
+    got = ev(meshlib.replicate(mesh, params), meshlib.shard_batch(mesh, x),
+             jax.random.PRNGKey(0))
     want = _per_group_reference(params, x, mesh.shape["data"], "global")
     np.testing.assert_allclose(float(got["loss"]), want, rtol=1e-4,
                                atol=1e-4)
@@ -88,10 +90,12 @@ def test_global_pool_is_harder_than_local(mesh, setup):
     params, x = setup
     local = pretrain_step.make_eval_step(
         CFG, TrainConfig(batch_size=B, negatives="local"), mesh)(
-        meshlib.replicate(mesh, params), meshlib.shard_batch(mesh, x))
+        meshlib.replicate(mesh, params), meshlib.shard_batch(mesh, x),
+        jax.random.PRNGKey(0))
     glob = pretrain_step.make_eval_step(
         CFG, TrainConfig(batch_size=B, negatives="global"), mesh)(
-        meshlib.replicate(mesh, params), meshlib.shard_batch(mesh, x))
+        meshlib.replicate(mesh, params), meshlib.shard_batch(mesh, x),
+        jax.random.PRNGKey(0))
     # 8× the candidate pool ⇒ strictly larger loss at init
     assert float(glob["loss"]) > float(local["loss"])
 
