@@ -41,17 +41,39 @@ except Exception:  # pragma: no cover
     _HAVE_CV2 = False
 
 
-def load_frame(path: str) -> np.ndarray:
-    """Decode one JPEG to RGB uint8 [H, W, 3]."""
+def load_frame(path: str,
+               target_hw: "tuple[int, int] | None" = None) -> np.ndarray:
+    """Decode one JPEG to RGB uint8 [H, W, 3].
+
+    With ``target_hw`` the decode is fused with the resize: the native
+    libjpeg path (dpc_tpu/native) scales in the DCT domain — decoding a
+    480p frame straight to 128² costs ~0.6 ms vs ~0.75 ms for
+    decode-then-resize.  Falls back to cv2, then PIL.
+    """
+    from dpc_tpu import native
+
+    if native.available():
+        try:
+            return native.decode_file(path, target_hw)
+        except (ValueError, OSError):
+            pass  # corrupt header etc. — retry with cv2 below
     if _HAVE_CV2:
         img = cv2.imread(path, cv2.IMREAD_COLOR)
         if img is None:
             raise FileNotFoundError(path)
-        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        if target_hw is not None:
+            img = cv2.resize(img, (target_hw[1], target_hw[0]),
+                             interpolation=cv2.INTER_LINEAR)
+        return img
     from PIL import Image
 
     with Image.open(path) as im:
-        return np.asarray(im.convert("RGB"))
+        out = np.asarray(im.convert("RGB"))
+    if target_hw is not None:
+        out = np.asarray(Image.fromarray(out).resize(
+            (target_hw[1], target_hw[0])))
+    return out
 
 
 def read_split_csv(path: str) -> list[tuple[str, int]]:
@@ -92,8 +114,10 @@ class FrameClipDataset:
                  num_seq: int = 8, seq_len: int = 5, downsample: int = 3,
                  mode: str = "train", return_label: bool = False,
                  window_stride: Optional[int] = None,
-                 class_names: Optional[dict[int, str]] = None):
+                 class_names: Optional[dict[int, str]] = None,
+                 decode_size: Optional[tuple[int, int]] = None):
         self.transform = transform
+        self.decode_size = decode_size
         self.num_seq = num_seq
         self.seq_len = seq_len
         self.downsample = downsample
@@ -118,7 +142,8 @@ class FrameClipDataset:
         flat = indices.reshape(-1)
         # clamp defensively: CSV vlen can overcount by a frame
         flat = np.minimum(flat, record.num_frames - 1)
-        frames = [load_frame(self._frame_path(record, int(i))) for i in flat]
+        frames = [load_frame(self._frame_path(record, int(i)),
+                             self.decode_size) for i in flat]
         return np.stack(frames)
 
     def sample(self, index: int, rng: np.random.Generator):
@@ -179,7 +204,9 @@ def make_dataset(dataset: str, data_root: str, mode: str,
                  transform: Compose, *, num_seq: int = 8, seq_len: int = 5,
                  downsample: int = 3, split: int = 1, big: bool = False,
                  return_label: bool = False, unit_test: bool = False,
-                 val_subsample: float = 0.3) -> FrameClipDataset:
+                 val_subsample: float = 0.3,
+                 decode_size: Optional[tuple[int, int]] = None
+                 ) -> FrameClipDataset:
     """Factory covering ucf101 / hmdb51 / k400 split conventions.
 
     ucf101/hmdb51: ``{root}/{name}/{mode}_split{split:02d}.csv``
@@ -219,4 +246,5 @@ def make_dataset(dataset: str, data_root: str, mode: str,
     return FrameClipDataset(records, transform, num_seq=num_seq,
                             seq_len=seq_len, downsample=downsample,
                             mode=mode, return_label=return_label,
-                            window_stride=window_stride, class_names=names)
+                            window_stride=window_stride, class_names=names,
+                            decode_size=decode_size)

@@ -1,0 +1,210 @@
+// Native JPEG decode + resize for the video frame pipeline.
+//
+// The reference feeds its GPUs with 32 python worker *processes* running
+// PIL decodes (dpc/main.py:311, dpc/dataset_3d.py:106).  Our loader is
+// thread-based, so the decode hot path must drop the GIL and burn no Python
+// cycles: this translation unit decodes baseline JPEGs with libjpeg,
+// exploiting DCT-domain scaling (scale_num/8) to do most of the downscale
+// for free, then finishes with a fixed-point bilinear resample to the exact
+// target size.  Exposed as a C ABI consumed via ctypes
+// (dpc_tpu/native/__init__.py); a pthread pool amortises across a batch.
+//
+// Build: g++ -O3 -shared -fPIC -o libdpcjpeg.so jpeg_decoder.cpp -ljpeg -lpthread
+
+#include <csetjmp>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <jpeglib.h>
+#include <pthread.h>
+#include <vector>
+
+namespace {
+
+struct ErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+};
+
+void error_exit(j_common_ptr cinfo) {
+  ErrorMgr* err = reinterpret_cast<ErrorMgr*>(cinfo->err);
+  longjmp(err->setjmp_buffer, 1);
+}
+
+// Bilinear resample (fixed-point 16.16) from src (h,w,3) to dst (th,tw,3).
+void bilinear_rgb(const uint8_t* src, int h, int w, uint8_t* dst, int th,
+                  int tw) {
+  if (h == th && w == tw) {
+    memcpy(dst, src, static_cast<size_t>(h) * w * 3);
+    return;
+  }
+  const int64_t x_step = ((int64_t)w << 16) / tw;
+  const int64_t y_step = ((int64_t)h << 16) / th;
+  std::vector<int> x0s(tw), x1s(tw), wxs(tw);
+  for (int x = 0; x < tw; ++x) {
+    int64_t fx = x * x_step + (x_step >> 1) - (1 << 15);
+    if (fx < 0) fx = 0;
+    int xi = static_cast<int>(fx >> 16);
+    x0s[x] = xi < w - 1 ? xi : w - 1;
+    x1s[x] = xi + 1 < w ? xi + 1 : w - 1;
+    wxs[x] = static_cast<int>(fx & 0xffff);
+  }
+  for (int y = 0; y < th; ++y) {
+    int64_t fy = y * y_step + (y_step >> 1) - (1 << 15);
+    if (fy < 0) fy = 0;
+    int yi = static_cast<int>(fy >> 16);
+    int y0 = yi < h - 1 ? yi : h - 1;
+    int y1 = yi + 1 < h ? yi + 1 : h - 1;
+    int wy = static_cast<int>(fy & 0xffff);
+    const uint8_t* r0 = src + static_cast<size_t>(y0) * w * 3;
+    const uint8_t* r1 = src + static_cast<size_t>(y1) * w * 3;
+    uint8_t* out = dst + static_cast<size_t>(y) * tw * 3;
+    for (int x = 0; x < tw; ++x) {
+      const int x0 = x0s[x] * 3, x1 = x1s[x] * 3, wx = wxs[x];
+      for (int c = 0; c < 3; ++c) {
+        int top = r0[x0 + c] + (((r0[x1 + c] - r0[x0 + c]) * wx) >> 16);
+        int bot = r1[x0 + c] + (((r1[x1 + c] - r1[x0 + c]) * wx) >> 16);
+        out[x * 3 + c] =
+            static_cast<uint8_t>(top + (((bot - top) * wy) >> 16));
+      }
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode header only: writes (height, width) into dims[0..1]; returns 0 ok.
+int dpc_jpeg_dims(const uint8_t* data, int64_t len, int32_t* dims) {
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, static_cast<unsigned long>(len));
+  jpeg_read_header(&cinfo, TRUE);
+  dims[0] = cinfo.image_height;
+  dims[1] = cinfo.image_width;
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+// Decode one JPEG to RGB and bilinear-resize into out (th × tw × 3).
+// target th/tw <= 0 means "native size" (caller must size out accordingly,
+// using dpc_jpeg_dims).  Uses DCT-domain M/8 scaling to land the cheapest
+// decode that still covers the target.  Returns 0 on success.
+int dpc_jpeg_decode_resize(const uint8_t* data, int64_t len, uint8_t* out,
+                           int32_t th, int32_t tw) {
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, static_cast<unsigned long>(len));
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+
+  if (th > 0 && tw > 0) {
+    // smallest M with ceil(dim·M/8) >= target on both axes
+    int m = 8;
+    for (int cand = 1; cand <= 8; ++cand) {
+      long sh = (static_cast<long>(cinfo.image_height) * cand + 7) / 8;
+      long sw = (static_cast<long>(cinfo.image_width) * cand + 7) / 8;
+      if (sh >= th && sw >= tw) {
+        m = cand;
+        break;
+      }
+    }
+    cinfo.scale_num = m;
+    cinfo.scale_denom = 8;
+  }
+  jpeg_start_decompress(&cinfo);
+  const int h = cinfo.output_height, w = cinfo.output_width;
+  const int stride = w * cinfo.output_components;
+  std::vector<uint8_t> buf(static_cast<size_t>(h) * stride);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = buf.data() +
+                   static_cast<size_t>(cinfo.output_scanline) * stride;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  if (cinfo.output_components != 3) {
+    // expand grayscale to RGB in place
+    std::vector<uint8_t> rgb(static_cast<size_t>(h) * w * 3);
+    for (size_t i = 0; i < static_cast<size_t>(h) * w; ++i) {
+      rgb[i * 3] = rgb[i * 3 + 1] = rgb[i * 3 + 2] = buf[i];
+    }
+    buf.swap(rgb);
+  }
+  if (th <= 0 || tw <= 0) {
+    memcpy(out, buf.data(), static_cast<size_t>(h) * w * 3);
+    return 0;
+  }
+  bilinear_rgb(buf.data(), h, w, out, th, tw);
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Batched decode with a pthread pool.
+// ---------------------------------------------------------------------------
+
+struct BatchJob {
+  const uint8_t* const* datas;
+  const int64_t* lens;
+  uint8_t* out;       // contiguous [n, th, tw, 3]
+  int32_t th, tw;
+  int n;
+  int next;           // shared cursor
+  int failures;
+  pthread_mutex_t mu;
+};
+
+void* batch_worker(void* arg) {
+  BatchJob* job = static_cast<BatchJob*>(arg);
+  const size_t frame_bytes =
+      static_cast<size_t>(job->th) * job->tw * 3;
+  for (;;) {
+    pthread_mutex_lock(&job->mu);
+    int i = job->next++;
+    pthread_mutex_unlock(&job->mu);
+    if (i >= job->n) break;
+    int rc = dpc_jpeg_decode_resize(job->datas[i], job->lens[i],
+                                    job->out + frame_bytes * i, job->th,
+                                    job->tw);
+    if (rc != 0) {
+      pthread_mutex_lock(&job->mu);
+      job->failures++;
+      pthread_mutex_unlock(&job->mu);
+      memset(job->out + frame_bytes * i, 0, frame_bytes);
+    }
+  }
+  return nullptr;
+}
+
+// Decode n JPEGs into out[n, th, tw, 3] with `threads` workers.
+// Returns the number of failed decodes (failed frames are zeroed).
+int dpc_jpeg_decode_batch(const uint8_t* const* datas, const int64_t* lens,
+                          int n, uint8_t* out, int32_t th, int32_t tw,
+                          int threads) {
+  if (threads < 1) threads = 1;
+  if (threads > n) threads = n;
+  BatchJob job{datas, lens, out, th, tw, n, 0, 0,
+               PTHREAD_MUTEX_INITIALIZER};
+  std::vector<pthread_t> tids(threads);
+  for (int t = 0; t < threads; ++t)
+    pthread_create(&tids[t], nullptr, batch_worker, &job);
+  for (int t = 0; t < threads; ++t) pthread_join(tids[t], nullptr);
+  return job.failures;
+}
+
+}  // extern "C"

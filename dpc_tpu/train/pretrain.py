@@ -129,11 +129,13 @@ def get_dataset(cfg: ExperimentConfig, mode: str, unit_test: bool = False):
                 downsample=d.downsample, mode=mode,
                 seed=1 if mode == "val" else 0)
         big = d.dataset == "k400" and m.img_dim > 140
-        return make_dataset(d.dataset, d.data_root, mode, host_tf,
+        return make_dataset(d.dataset, d.data_root, mode,
+                            augment.Compose([]),
                             num_seq=m.num_seq, seq_len=m.seq_len,
                             downsample=d.downsample, big=big,
                             unit_test=unit_test,
-                            val_subsample=d.val_subsample)
+                            val_subsample=d.val_subsample,
+                            decode_size=(pre, pre))
     if d.dataset == "synthetic":
         return SyntheticVideoDataset(
             transform=augment.Compose([
