@@ -33,7 +33,12 @@ class ClipLoader:
 
     def __init__(self, dataset, batch_size: int, *, shuffle: bool = True,
                  drop_last: bool = True, num_workers: int = 8,
-                 prefetch_batches: int = 4, seed: int = 0):
+                 prefetch_batches: int = 4, seed: int = 0,
+                 shard_id: int = 0, num_shards: int = 1):
+        """``batch_size`` is PER SHARD (per host).  ``shard_id/num_shards``
+        give each host a disjoint slice of the same seeded permutation —
+        the multi-host ingest contract (every host must draw the same
+        order for the epoch to partition cleanly)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -42,9 +47,12 @@ class ClipLoader:
         self.prefetch_batches = prefetch_batches
         self.seed = seed
         self.epoch = 0
+        assert 0 <= shard_id < num_shards
+        self.shard_id = shard_id
+        self.num_shards = num_shards
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = len(self.dataset) // self.num_shards
         return n // self.batch_size if self.drop_last else \
             (n + self.batch_size - 1) // self.batch_size
 
@@ -53,10 +61,15 @@ class ClipLoader:
 
     def _order(self) -> np.ndarray:
         n = len(self.dataset)
-        if not self.shuffle:
-            return np.arange(n)
-        rng = np.random.default_rng((self.seed, self.epoch))
-        return rng.permutation(n)
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self.epoch))
+            order = rng.permutation(n)
+        else:
+            order = np.arange(n)
+        if self.num_shards > 1:
+            per = n // self.num_shards
+            order = order[self.shard_id * per:(self.shard_id + 1) * per]
+        return order
 
     def __iter__(self) -> Iterator:
         order = self._order()

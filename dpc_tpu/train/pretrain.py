@@ -86,6 +86,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--steps_per_epoch", default=0, type=int,
                    help="cap steps per epoch (0 = full epoch)")
     p.add_argument("--log_dir", default="log")
+    p.add_argument("--profile", default="",
+                   help="write a jax.profiler trace of epoch-0 steps here")
+    p.add_argument("--debug_nans", action="store_true")
     return p
 
 
@@ -193,6 +196,10 @@ def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
     m, t = cfg.model, cfg.train
+    if args.debug_nans:
+        from dpc_tpu.utils.profiling import enable_debug
+
+        enable_debug(nan_checks=True)
 
     mesh = meshlib.make_mesh(t.num_devices, args.model_parallel)
     n_dev = mesh.shape["data"]
@@ -278,10 +285,13 @@ def main(argv=None) -> None:
             writer_train.add_images("input_seq", grid, epoch,
                                     dataformats="NHWC")
 
-        state, meters, iteration = run_epoch(
-            step_fn, state, train_loader, mesh, ekey, train=True,
-            print_freq=t.print_freq, epoch=epoch, writer=writer_train,
-            iteration=iteration, max_steps=args.steps_per_epoch)
+        from dpc_tpu.utils.profiling import trace
+
+        with trace(args.profile if epoch == start_epoch else None):
+            state, meters, iteration = run_epoch(
+                step_fn, state, train_loader, mesh, ekey, train=True,
+                print_freq=t.print_freq, epoch=epoch, writer=writer_train,
+                iteration=iteration, max_steps=args.steps_per_epoch)
         _, vmeters, _ = run_epoch(
             step_fn, state, val_loader, mesh, ekey, train=False,
             eval_fn=eval_fn, params_for_eval=state.params,

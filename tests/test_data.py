@@ -283,3 +283,32 @@ class TestFrameDataset:
         assert clip.shape[1:] == (2, 3, 64, 80, 3)
         assert clip.shape[0] == 4
         assert label == 0
+
+
+class TestLoaderSharding:
+    def _ds(self, n=16):
+        return SyntheticVideoDataset(num_videos=n, frame_size=32,
+                                     num_seq=2, seq_len=3, downsample=2,
+                                     video_len=64, return_label=True)
+
+    def test_shards_partition_the_epoch(self):
+        ds = self._ds(16)
+        seen = []
+        for shard in range(4):
+            loader = ClipLoader(ds, batch_size=2, num_workers=1, seed=3,
+                                shard_id=shard, num_shards=4)
+            assert len(loader) == 2
+            for clips, labels in loader:
+                seen.extend(labels.tolist())
+        # 4 shards × 4 samples = all 16 videos exactly once
+        assert len(seen) == 16
+
+    def test_shard_determinism(self):
+        ds = self._ds(8)
+        a = [l.tolist() for _, l in ClipLoader(ds, 2, num_workers=1,
+                                               seed=1, shard_id=1,
+                                               num_shards=2)]
+        b = [l.tolist() for _, l in ClipLoader(ds, 2, num_workers=1,
+                                               seed=1, shard_id=1,
+                                               num_shards=2)]
+        assert a == b
