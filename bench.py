@@ -30,10 +30,11 @@ def main() -> None:
     from dpc_tpu.parallel import mesh as meshlib
     from dpc_tpu.train import optim, pretrain_step
 
-    batch = 32
-    cfg = DPCConfig(compute_dtype="bfloat16")  # flagship R18-128 8×5 pred3
+    batch = 64
+    # flagship R18-128 8×5 pred3, bf16 compute, Pallas fused NCE + GRU
+    cfg = DPCConfig(compute_dtype="bfloat16", gru_impl="pallas")
     tcfg = TrainConfig(batch_size=batch, lr=1e-3, wd=1e-5,
-                       negatives="local", donate=True)
+                       negatives="local", donate=True, fused_nce=True)
     mesh = meshlib.make_mesh(1)
 
     params = dpc.init_dpc(jax.random.PRNGKey(0), cfg)

@@ -103,15 +103,34 @@ class CenterCrop:
 
 
 class RandomCrop:
-    def __init__(self, size, consistent: bool = True):
+    """Random crop; optional optical-flow-guided proposals (the reference's
+    3-proposal largest-|flow| mode, ``augmentation.py:126-137``)."""
+
+    def __init__(self, size, consistent: bool = True, num_proposals: int = 3):
         self.size = (size, size) if isinstance(size, (int, float)) else size
         self.consistent = consistent
+        self.num_proposals = num_proposals
 
-    def __call__(self, clip, rng):
+    def __call__(self, clip, rng, flowmap=None):
         t, h, w, c = clip.shape
         th, tw = self.size
         if w == tw and h == th:
             return clip
+        if flowmap is not None:
+            assert not self.consistent
+            out = np.empty((t, th, tw, c), clip.dtype)
+            for i in range(t):
+                best, best_mag = (0, 0), -1.0
+                for _ in range(self.num_proposals):
+                    x = int(rng.integers(0, w - tw + 1))
+                    y = int(rng.integers(0, h - th + 1))
+                    mag = abs(float(
+                        np.mean(flowmap[i, y: y + th, x: x + tw])))
+                    if mag > best_mag:
+                        best, best_mag = (y, x), mag
+                out[i] = clip[i, best[0]: best[0] + th,
+                              best[1]: best[1] + tw]
+            return out
         if self.consistent:
             x1 = int(rng.integers(0, w - tw + 1))
             y1 = int(rng.integers(0, h - th + 1))
@@ -122,6 +141,24 @@ class RandomCrop:
             y1 = int(rng.integers(0, h - th + 1))
             out[i] = clip[i, y1: y1 + th, x1: x1 + tw]
         return out
+
+
+class FiveCrop:
+    """Four corners + centre → ``[5, T, size, size, C]`` (the eval
+    dataset's 5-crop test path, ``eval/dataset_3d_lc.py:98-107``)."""
+
+    def __init__(self, size):
+        self.size = (size, size) if isinstance(size, (int, float)) else size
+
+    def __call__(self, clip, rng=None):
+        t, h, w, c = clip.shape
+        th, tw = self.size
+        assert th <= h and tw <= w, (clip.shape, self.size)
+        cx = int(round((w - tw) / 2.0))
+        cy = int(round((h - th) / 2.0))
+        corners = [(0, 0), (0, w - tw), (h - th, 0), (h - th, w - tw),
+                   (cy, cx)]
+        return np.stack([_crop(clip, y, x, th, tw) for y, x in corners])
 
 
 class RandomCropWithProb:

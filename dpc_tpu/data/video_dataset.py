@@ -161,7 +161,10 @@ class FrameClipDataset:
             frames = self._load_frames(record, windows)
             clip = self.transform(frames, rng)
             h, w, c = clip.shape[-3:]
-            clip = clip.reshape(nw, self.num_seq, self.seq_len, h, w, c)
+            # multi-crop transforms (FiveCrop) return [k, T, h, w, c]:
+            # crops ride the window axis (eval/dataset_3d_lc.py:117-121)
+            clip = clip.reshape(-1, self.num_seq, self.seq_len, h, w, c)
+            assert clip.shape[0] % nw == 0
             return (clip, record.label) if self.return_label else clip
 
         start = shapes.sample_clip_start(rng, record.num_frames,

@@ -83,6 +83,18 @@ def topk_accuracy_np(scores: np.ndarray, targets: np.ndarray,
     return out
 
 
+def accuracy_np(scores: np.ndarray, targets: np.ndarray) -> float:
+    """Plain argmax accuracy (``calc_accuracy``, ``utils/utils.py:57``)."""
+    return float((scores.argmax(axis=1) == targets.reshape(-1)).mean())
+
+
+def accuracy_binary_np(scores: np.ndarray, targets: np.ndarray) -> float:
+    """Sigmoid-threshold binary accuracy (``calc_accuracy_binary``,
+    ``utils/utils.py:63``): pred > 0 vs {0, 1} targets."""
+    return float(((scores > 0).astype(np.int64)
+                  == targets.reshape(scores.shape)).mean())
+
+
 class AccuracyTable:
     """Per-class accuracy (``utils/utils.py:116-137``)."""
 

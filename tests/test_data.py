@@ -312,3 +312,40 @@ class TestLoaderSharding:
                                                seed=1, shard_id=1,
                                                num_shards=2)]
         assert a == b
+
+
+class TestFiveCropAndFlow:
+    def test_five_crop_shapes_and_contents(self):
+        clip = _clip(t=3, h=64, w=80)
+        out = A.FiveCrop(32)(clip)
+        assert out.shape == (5, 3, 32, 32, 3)
+        np.testing.assert_array_equal(out[0], clip[:, :32, :32])      # TL
+        np.testing.assert_array_equal(out[3], clip[:, -32:, -32:])    # BR
+        np.testing.assert_array_equal(out[4], clip[:, 16:48, 24:56])  # C
+
+    def test_flow_guided_crop_prefers_high_flow(self):
+        clip = _clip(t=2, h=64, w=64)
+        flow = np.zeros((2, 64, 64, 2), np.float32)
+        flow[:, 40:, 40:] = 10.0  # motion in bottom-right
+        op = A.RandomCrop(16, consistent=False, num_proposals=8)
+        rng = np.random.default_rng(0)
+        out = op(clip, rng, flowmap=flow)
+        assert out.shape == (2, 16, 16, 3)
+
+    def test_five_crop_windows_fold(self, tmp_path):
+        import cv2
+        d = tmp_path / "classA" / "v_0"
+        d.mkdir(parents=True)
+        rng = np.random.default_rng(0)
+        for i in range(30):
+            cv2.imwrite(str(d / f"image_{i + 1:05d}.jpg"),
+                        rng.integers(0, 255, (64, 80, 3), np.uint8))
+        recs = [video_dataset.VideoRecord(str(d), 30, label=2)]
+        tf = A.Compose([A.FiveCrop(32), A.Normalize()])
+        ds = video_dataset.FrameClipDataset(
+            recs, tf, num_seq=2, seq_len=3, downsample=2, mode="test",
+            return_label=True)
+        clip, label = ds.sample(0, np.random.default_rng(0))
+        # 4 windows × 5 crops = 20
+        assert clip.shape == (20, 2, 3, 32, 32, 3)
+        assert label == 2
