@@ -201,9 +201,15 @@ def fused_convgru_layer(cell: Params, x: jax.Array, h0: jax.Array, *,
     b, t, hh, ww, cin = x.shape
     ch = h0.shape[-1]
     rows = b * hh * ww
-    # [B,T,H,W,C] -> [T, B·H·W, C]
+    # [B,T,H,W,C] -> [T, B·H·W, C]; pad rows to a tileable multiple
+    # (e.g. R34-224 gives 44·7² = 2156 rows) — padded rows compute garbage
+    # that is sliced off, and their cotangents are zero in the backward
+    rows_p = max(8, -(-rows // 8) * 8)
     x_seq = jnp.moveaxis(x, 1, 0).reshape(t, rows, cin)
     h0_rows = h0.reshape(rows, ch)
+    if rows_p != rows:
+        x_seq = jnp.pad(x_seq, ((0, 0), (0, rows_p - rows), (0, 0)))
+        h0_rows = jnp.pad(h0_rows, ((0, rows_p - rows), (0, 0)))
 
     if train and dropout > 0.0 and key is not None:
         keys = jax.random.split(key, t)
@@ -215,10 +221,13 @@ def fused_convgru_layer(cell: Params, x: jax.Array, h0: jax.Array, *,
             return jnp.where(m, 1.0 / keep, 0.0).astype(jnp.float32)
 
         masks = jax.vmap(mask_for)(keys)
+        if rows_p != rows:
+            masks = jnp.pad(masks, ((0, 0), (0, rows_p - rows), (0, 0)),
+                            constant_values=1.0)
     else:
-        masks = jnp.ones((t, rows, ch), jnp.float32)
+        masks = jnp.ones((t, rows_p, ch), jnp.float32)
 
     weights = pack_weights(cell)
-    out = _fused_core(x_seq, h0_rows, *weights, masks)
+    out = _fused_core(x_seq, h0_rows, *weights, masks)[:, :rows]
     out = jnp.moveaxis(out.reshape(t, b, hh, ww, ch), 0, 1)
     return out, out[:, -1]

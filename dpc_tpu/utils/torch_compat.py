@@ -217,7 +217,10 @@ def load_torch_state_dict(tree: Any, key_map: dict[str, tuple[str, str]],
     for tk, v in sd.items():
         if tk in inverse:
             ours, kind = inverse[tk]
-            set_in_pytree(tree, ours, jnp.asarray(_CONVERT_T2J[kind](v)))
+            # copy=True: on CPU jnp can zero-copy a numpy view of torch
+            # memory, which a later in-place optimizer.step() would mutate
+            val = np.array(_CONVERT_T2J[kind](v), copy=True)
+            set_in_pytree(tree, ours, jnp.asarray(val))
             loaded.append(tk)
         elif not tk.endswith("num_batches_tracked"):
             unused.append(tk)

@@ -99,3 +99,27 @@ def test_dpc_forward_with_pallas_gru():
     s_p, _, _ = dpc.apply_dpc(params, x, cfg=cfg_p, train=False)
     np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_s),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_non_tileable_rows():
+    """Row counts with no power-of-two divisor (e.g. 7×7 grids) must pad."""
+    params = convgru.init_convgru(jax.random.PRNGKey(0), 8, 8, 1, 1)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 3, 7, 7, 8))
+    out_s, last_s = convgru.apply_convgru(params, x, train=False,
+                                          impl="scan")
+    out_p, last_p = convgru.apply_convgru(params, x, train=False,
+                                          impl="pallas")
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_s),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss(impl):
+        out, _ = convgru.apply_convgru(params, x, train=False, impl=impl)
+        return jnp.sum(out ** 2)
+
+    gs = jax.grad(lambda p: jnp.sum(convgru.apply_convgru(
+        p, x, train=False, impl="scan")[0] ** 2))(params)
+    gp = jax.grad(lambda p: jnp.sum(convgru.apply_convgru(
+        p, x, train=False, impl="pallas")[0] ** 2))(params)
+    for a, b in zip(jax.tree.leaves(gs), jax.tree.leaves(gp)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
