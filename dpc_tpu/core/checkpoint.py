@@ -30,12 +30,13 @@ def make_manager(directory: str, max_to_keep: int = 1,
     """Rolling-latest (+ best) checkpoint manager."""
     directory = os.path.abspath(directory)
     os.makedirs(directory, exist_ok=True)
-    options = ocp.CheckpointManagerOptions(
-        max_to_keep=max_to_keep + (1 if keep_best else 0),
-        best_fn=(lambda m: m.get("val_acc", 0.0)) if keep_best else None,
-        best_mode="max" if keep_best else None,
-        keep_checkpoints_without_metrics=True,
-    )
+    kwargs = dict(max_to_keep=max_to_keep,
+                  keep_checkpoints_without_metrics=True)
+    if keep_best:
+        kwargs.update(max_to_keep=max_to_keep + 1,
+                      best_fn=lambda m: m.get("val_acc", 0.0),
+                      best_mode="max")
+    options = ocp.CheckpointManagerOptions(**kwargs)
     return ocp.CheckpointManager(directory, options=options)
 
 

@@ -72,6 +72,12 @@ class ClipLoader:
         return order
 
     def __iter__(self) -> Iterator:
+        return self.iterate(0)
+
+    def iterate(self, start_batch: int = 0) -> Iterator:
+        """Iterate from ``start_batch`` of this epoch's deterministic order
+        (mid-epoch resume support: no data is loaded for skipped batches).
+        """
         order = self._order()
         n = len(order)
         nb = len(self)
@@ -85,7 +91,7 @@ class ClipLoader:
         def producer():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
-                    for b in range(nb):
+                    for b in range(start_batch, nb):
                         lo = b * self.batch_size
                         hi = min(lo + self.batch_size, n)
                         items = list(pool.map(load_one, range(lo, hi)))

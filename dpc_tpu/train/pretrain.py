@@ -85,6 +85,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="32-video subsample for smoke runs")
     p.add_argument("--steps_per_epoch", default=0, type=int,
                    help="cap steps per epoch (0 = full epoch)")
+    p.add_argument("--save_every_steps", default=0, type=int,
+                   help="mid-epoch checkpoint interval (0 = per-epoch "
+                        "only); resume continues from the exact batch")
     p.add_argument("--log_dir", default="log")
     p.add_argument("--profile", default="",
                    help="write a jax.profiler trace of epoch-0 steps here")
@@ -163,10 +166,13 @@ def get_dataset(cfg: ExperimentConfig, mode: str, unit_test: bool = False):
 def run_epoch(step_fn, state, loader, mesh, key, *, train: bool,
               eval_fn=None, params_for_eval=None, print_freq: int = 5,
               epoch: int = 0, writer=None, iteration: int = 0,
-              max_steps: int = 0):
+              max_steps: int = 0, start_batch: int = 0,
+              step_save_fn=None, save_every_steps: int = 0):
     meters = MetricBundle()
     tic = time.time()
-    for idx, batch in enumerate(loader):
+    it = loader.iterate(start_batch) if hasattr(loader, "iterate") \
+        else iter(loader)
+    for idx, batch in enumerate(it, start=start_batch):
         if max_steps and idx >= max_steps:
             break
         xb = meshlib.shard_batch(mesh, jnp.asarray(batch))
@@ -189,6 +195,9 @@ def run_epoch(step_fn, state, loader, mesh, key, *, train: bool,
                 writer.add_scalar("local/accuracy", metrics["top1"],
                                   iteration)
                 iteration += 1
+        if (save_every_steps and train and step_save_fn is not None
+                and (idx + 1) % save_every_steps == 0):
+            step_save_fn(state, epoch, idx)
     return state, meters, iteration
 
 
@@ -248,6 +257,28 @@ def main(argv=None) -> None:
             start_epoch = epoch0
             print(f"resumed epoch {epoch0} (best_acc {best_acc:.4f})")
 
+    # mid-epoch (step-level) checkpoints: preemption recovery beyond the
+    # reference's epoch granularity (SURVEY §5 "failure detection")
+    step_mgr = ckpt.make_manager(os.path.join(exp_dir, "model_steps"),
+                                 keep_best=False) \
+        if args.save_every_steps else None
+    start_batch = 0
+    if args.resume and step_mgr is not None:
+        host = jax.device_get(state)
+        template = {"params": host.params, "opt_state": host.opt_state,
+                    "step": host.step, "epoch": 0, "batch_idx": 0,
+                    "best_acc": 0.0, "iteration": 0}
+        gstep, payload = ckpt.restore_latest(step_mgr, template)
+        if gstep is not None and int(payload["epoch"]) >= start_epoch:
+            state = pretrain_step.TrainState(
+                payload["params"], payload["opt_state"], payload["step"])
+            start_epoch = int(payload["epoch"])
+            start_batch = int(payload["batch_idx"]) + 1
+            best_acc = float(payload["best_acc"])
+            iteration = int(payload["iteration"])
+            print(f"resumed mid-epoch: epoch {start_epoch} "
+                  f"batch {start_batch}")
+
     state = meshlib.replicate(mesh, state)
     step_fn = pretrain_step.make_pretrain_step(m, t, mesh, tx)
     eval_fn = pretrain_step.make_eval_step(m, t, mesh)
@@ -287,11 +318,22 @@ def main(argv=None) -> None:
 
         from dpc_tpu.utils.profiling import trace
 
+        def save_mid_epoch(st, ep, batch_idx):
+            host = jax.device_get(st)
+            ckpt.save(step_mgr, iteration + batch_idx + ep * 100000,
+                      {"params": host.params, "opt_state": host.opt_state,
+                       "step": host.step, "epoch": ep,
+                       "batch_idx": batch_idx, "best_acc": best_acc,
+                       "iteration": iteration})
+
         with trace(args.profile if epoch == start_epoch else None):
             state, meters, iteration = run_epoch(
                 step_fn, state, train_loader, mesh, ekey, train=True,
                 print_freq=t.print_freq, epoch=epoch, writer=writer_train,
-                iteration=iteration, max_steps=args.steps_per_epoch)
+                iteration=iteration, max_steps=args.steps_per_epoch,
+                start_batch=start_batch if epoch == start_epoch else 0,
+                step_save_fn=save_mid_epoch if step_mgr else None,
+                save_every_steps=args.save_every_steps)
         _, vmeters, _ = run_epoch(
             step_fn, state, val_loader, mesh, ekey, train=False,
             eval_fn=eval_fn, params_for_eval=state.params,

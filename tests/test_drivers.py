@@ -65,3 +65,23 @@ def test_linear_probe_freezes_trunk(pretrain_dir, tmp_path, capsys):
                           "--train_what", "last"])
     out = capsys.readouterr().out
     assert "Finetune from ep 0 to ep 1 finished" in out
+
+
+def test_mid_epoch_resume(tmp_path, capsys):
+    """Simulated preemption: step checkpoints exist but the epoch-end
+    checkpoint never landed → resume continues from the exact batch."""
+    import shutil
+
+    from dpc_tpu.train import pretrain
+
+    log_dir = str(tmp_path / "mid")
+    args = TINY + ["--pred_step", "1", "--save_every_steps", "2",
+                   "--log_dir", log_dir]
+    pretrain.main(args + ["--epochs", "1"])
+    (exp,) = glob.glob(os.path.join(log_dir, "*"))
+    # wipe the epoch-end checkpoints, keep the mid-epoch ones
+    shutil.rmtree(os.path.join(exp, "model"))
+    capsys.readouterr()
+    pretrain.main(args + ["--epochs", "1", "--resume", exp])
+    out = capsys.readouterr().out
+    assert "resumed mid-epoch: epoch 0 batch 2" in out
