@@ -85,29 +85,18 @@ def conv3d(p: Params, x: jax.Array, stride: tuple[int, int, int],
     """3-D convolution, NDHWC × DHWIO.  Explicit symmetric padding matches
     torch's floor-mode output sizes exactly.
 
-    Temporally-pointwise convs (k_t=1, stride_t=1, pad_t=0 — the "2D"
-    stages and every 1×1×1 projection) are lowered to a batched 2-D conv
-    with time folded into the batch axis: identical math, and XLA tiles
-    plain 2-D convs onto the MXU better than degenerate 3-D ones.
+    NOTE: folding k_t=1 convs into batched 2-D convs was tried and
+    REVERTED — identical math, but the reshape copies broke XLA fusion
+    and raised peak HBM by ~600 MB at the R18-128/batch-64 config with no
+    step-time win.  XLA tiles the degenerate 3-D convs fine.
     """
     w = p["w"]
     if dtype is not None:
         x, w = x.astype(dtype), w.astype(dtype)
-    if (w.shape[0] == 1 and stride[0] == 1 and padding[0] == 0
-            and x.ndim == 5):
-        n, t, h, wd, c = x.shape
-        y = jax.lax.conv_general_dilated(
-            x.reshape(n * t, h, wd, c), w[0],
-            window_strides=stride[1:],
-            padding=[(padding[1],) * 2, (padding[2],) * 2],
-            dimension_numbers=CONV2D_DIMNUMS)
-        y = y.reshape(n, t, *y.shape[1:])
-    else:
-        y = jax.lax.conv_general_dilated(
-            x, w, window_strides=stride,
-            padding=[(padding[0],) * 2, (padding[1],) * 2,
-                     (padding[2],) * 2],
-            dimension_numbers=CONV3D_DIMNUMS)
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=stride,
+        padding=[(padding[0],) * 2, (padding[1],) * 2, (padding[2],) * 2],
+        dimension_numbers=CONV3D_DIMNUMS)
     if "b" in p:
         y = y + p["b"].astype(y.dtype)
     return y

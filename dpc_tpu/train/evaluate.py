@@ -54,6 +54,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model", default="lc")
     p.add_argument("--dataset", default="ucf101",
                    choices=["ucf101", "hmdb51", "synthetic"])
+    p.add_argument("--num_class", default=0, type=int,
+                   help="override the per-dataset class count")
     p.add_argument("--split", default=1, type=int)
     p.add_argument("--seq_len", default=5, type=int)
     p.add_argument("--num_seq", default=8, type=int)
@@ -89,7 +91,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def config_from_args(args) -> ExperimentConfig:
-    num_classes = NUM_CLASSES[args.dataset]
+    num_classes = args.num_class or NUM_CLASSES[args.dataset]
     milestones = LR_MILESTONES.get(
         (args.dataset, args.img_dim if args.dataset == "ucf101" else None),
         LR_MILESTONES.get((args.dataset, None), (60, 80, 100)))
