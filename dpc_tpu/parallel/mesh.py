@@ -49,8 +49,30 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a host batch with its leading axis sharded over 'data'."""
-    return jax.device_put(batch, batch_sharding(mesh))
+    """Shard a host batch's leading axis over 'data'.
+
+    Single-process: a plain device_put.  Multi-process (one jax process
+    per host, ``jax.distributed.initialize``): each process passes its
+    LOCAL slice (global_batch / process_count samples) and the global
+    array is assembled across hosts.
+    """
+    sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sharding, x),
+            batch)
+    return jax.device_put(batch, sharding)
+
+
+def init_multihost() -> tuple[int, int]:
+    """Initialise the JAX distributed runtime (idempotent) and return
+    (process_index, process_count) — the loader's (shard_id, num_shards)."""
+    if jax.process_count() == 1:
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            pass  # single-process / already initialised
+    return jax.process_index(), jax.process_count()
 
 
 def replicate(mesh: Mesh, tree):

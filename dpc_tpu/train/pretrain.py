@@ -92,6 +92,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", default="",
                    help="write a jax.profiler trace of epoch-0 steps here")
     p.add_argument("--debug_nans", action="store_true")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialise jax.distributed; each host feeds its "
+                        "shard of the global batch")
     return p
 
 
@@ -210,6 +213,8 @@ def main(argv=None) -> None:
 
         enable_debug(nan_checks=True)
 
+    shard_id, num_shards = (meshlib.init_multihost() if args.multihost
+                            else (0, 1))
     mesh = meshlib.make_mesh(t.num_devices, args.model_parallel)
     n_dev = mesh.shape["data"]
     print(f"devices: {dict(mesh.shape)} × {jax.devices()[0].platform}; "
@@ -283,12 +288,17 @@ def main(argv=None) -> None:
     step_fn = pretrain_step.make_pretrain_step(m, t, mesh, tx)
     eval_fn = pretrain_step.make_eval_step(m, t, mesh)
 
+    per_host_batch = t.batch_size // num_shards
     train_loader = ClipLoader(get_dataset(cfg, "train", args.unit_test),
-                              t.batch_size, num_workers=cfg.data.num_workers,
-                              seed=t.seed)
+                              per_host_batch,
+                              num_workers=cfg.data.num_workers,
+                              seed=t.seed, shard_id=shard_id,
+                              num_shards=num_shards)
     val_loader = ClipLoader(get_dataset(cfg, "val", args.unit_test),
-                            t.batch_size, num_workers=cfg.data.num_workers,
-                            seed=t.seed + 1)
+                            per_host_batch,
+                            num_workers=cfg.data.num_workers,
+                            seed=t.seed + 1, shard_id=shard_id,
+                            num_shards=num_shards)
     print(f"train videos: {len(train_loader.dataset)}; "
           f"val videos: {len(val_loader.dataset)}")
 
