@@ -10,8 +10,6 @@ from __future__ import annotations
 import functools
 from typing import Any, Callable
 
-import jax
-
 from dpc_tpu.models import resnet2d3d
 
 Params = dict[str, Any]

@@ -20,7 +20,6 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import jax
-import jax.numpy as jnp
 
 from dpc_tpu.models import layers as L
 

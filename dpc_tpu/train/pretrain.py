@@ -81,6 +81,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true")
     p.add_argument("--num_workers", default=8, type=int)
     p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--synthetic_videos", default=32, type=int)
     p.add_argument("--unit_test", action="store_true",
                    help="32-video subsample for smoke runs")
     p.add_argument("--steps_per_epoch", default=0, type=int,
@@ -105,6 +106,7 @@ def config_from_args(args) -> ExperimentConfig:
                         seq_len=args.seq_len, pred_step=args.pred_step,
                         network=args.net, compute_dtype=args.compute_dtype),
         data=DataConfig(dataset=args.dataset, data_root=args.data_root,
+                        synthetic_num_videos=args.synthetic_videos,
                         downsample=downsample,
                         num_workers=args.num_workers),
         train=TrainConfig(batch_size=args.batch_size, lr=args.lr,

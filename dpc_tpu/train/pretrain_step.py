@@ -20,8 +20,7 @@ Negative-pool semantics (``TrainConfig.negatives``):
 
 from __future__ import annotations
 
-import functools
-from typing import Any, NamedTuple, Optional
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
