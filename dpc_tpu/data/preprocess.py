@@ -146,3 +146,67 @@ def write_class_index(class_names: list[str], out_path: str) -> None:
     with open(out_path, "w") as f:
         for i, name in enumerate(sorted(class_names)):
             f.write(f"{i + 1},{name}\n")
+
+
+def main(argv=None) -> None:
+    """CLI: extract frames and/or write split CSVs.
+
+    Examples:
+      python -m dpc_tpu.data.preprocess extract /videos/UCF101 \
+          /data/ucf101/frame --short_side 256
+      python -m dpc_tpu.data.preprocess csv-ucf ucfTrainTestlist \
+          /data/ucf101/frame /data/ucf101 --split 1
+      python -m dpc_tpu.data.preprocess csv-classdirs /data/k400/frame \
+          /data/kinetics400/train_split.csv
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ex = sub.add_parser("extract", help="videos -> JPEG frame trees")
+    ex.add_argument("video_root")
+    ex.add_argument("out_root")
+    ex.add_argument("--short_side", type=int, default=256,
+                    help="UCF/HMDB 256(240), K400 150 or 256")
+    ex.add_argument("--workers", type=int, default=8)
+
+    cu = sub.add_parser("csv-ucf", help="official UCF/HMDB split lists -> CSVs")
+    cu.add_argument("split_dir", help="dir with trainlist0X/testlist0X.txt")
+    cu.add_argument("frame_root")
+    cu.add_argument("out_dir")
+    cu.add_argument("--split", type=int, default=1)
+
+    cc = sub.add_parser("csv-classdirs",
+                        help="class-dir frame tree -> one CSV (K400 style)")
+    cc.add_argument("frame_root")
+    cc.add_argument("out_csv")
+
+    ci = sub.add_parser("classind", help="write classInd.txt from class dirs")
+    ci.add_argument("frame_root")
+    ci.add_argument("out_path")
+
+    args = p.parse_args(argv)
+    if args.cmd == "extract":
+        extract_tree(args.video_root, args.out_root, args.short_side,
+                     num_workers=args.workers)
+    elif args.cmd == "csv-ucf":
+        for name, out in (("trainlist", "train_split"),
+                          ("testlist", "test_split")):
+            lst = os.path.join(args.split_dir,
+                               f"{name}{args.split:02d}.txt")
+            if not os.path.exists(lst):
+                print(f"skip missing {lst}")
+                continue
+            dirs = ucf_split_to_dirs(lst, args.frame_root)
+            write_split_csv(dirs, os.path.join(
+                args.out_dir, f"{out}{args.split:02d}.csv"))
+    elif args.cmd == "csv-classdirs":
+        write_split_csv(class_dirs_to_dirs(args.frame_root), args.out_csv)
+    elif args.cmd == "classind":
+        classes = sorted(os.listdir(args.frame_root))
+        write_class_index(classes, args.out_path)
+
+
+if __name__ == "__main__":
+    main()
