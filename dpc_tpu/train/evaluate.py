@@ -263,9 +263,32 @@ def main(argv=None) -> None:
             start_epoch = epoch0
             print(f"resumed epoch {epoch0} (best_acc {best_acc:.4f})")
 
+    # trainability audit (the reference's requires_grad printout,
+    # eval/test.py:86-89)
+    import numpy as _np
+
+    n_total = sum(_np.prod(x.shape) for x in jax.tree.leaves(params))
+    trunk = sum(_np.prod(x.shape)
+                for k in ("backbone", "agg")
+                for x in jax.tree.leaves(params.get(k, {})))
+    print(f"params: {n_total/1e6:.2f}M total; trunk {trunk/1e6:.2f}M "
+          f"({'frozen' if e.train_what == 'last' else
+             f'lr x{e.backbone_lr_scale}'}); head at full lr")
+
     state = meshlib.replicate(mesh, state)
     step_fn = finetune_step.make_finetune_step(m, e, mesh, tx)
     eval_fn = finetune_step.make_finetune_eval_step(m, e, mesh)
+
+    writer_train = writer_val = None
+    try:
+        from tensorboardX import SummaryWriter
+
+        writer_train = SummaryWriter(
+            logdir=os.path.join(exp_dir, "img", "train"))
+        writer_val = SummaryWriter(
+            logdir=os.path.join(exp_dir, "img", "val"))
+    except Exception as exc:  # pragma: no cover
+        print(f"tensorboard disabled: {exc}")
 
     train_loader = ClipLoader(get_dataset(cfg, "train", args.unit_test),
                               cfg.train.batch_size,
@@ -311,6 +334,12 @@ def main(argv=None) -> None:
         tr, va = meters.averages(), vmeters.averages()
         print(f"epoch {epoch}: train top1 {tr.get('top1', 0):.4f} | "
               f"val top1 {va.get('top1', 0):.4f}")
+        if writer_train is not None:
+            for k, v in tr.items():
+                writer_train.add_scalar(f"global/{k}", v, epoch)
+            for k, v in va.items():
+                writer_val.add_scalar(f"global/{k}", v, epoch)
+            writer_train.add_scalar("lr/scale", lr_scale, epoch)
         val_acc = va.get("top1", 0.0)
         best_acc = max(best_acc, val_acc)
         host = jax.device_get(state)
