@@ -18,7 +18,9 @@ Usage examples:
 from __future__ import annotations
 
 import argparse
+import math
 import os
+import signal
 import time
 
 import jax
@@ -168,11 +170,39 @@ def get_dataset(cfg: ExperimentConfig, mode: str, unit_test: bool = False):
                         val_subsample=d.val_subsample)
 
 
+class PreemptionGuard:
+    """SIGTERM/SIGINT → finish the current step, checkpoint, exit cleanly.
+
+    TPU VMs are routinely preempted; the reference would lose everything
+    since its last epoch boundary.  Installed by the pretrain driver when
+    mid-epoch checkpointing is enabled.
+    """
+
+    def __init__(self):
+        self.requested = False
+        self._prev = {}
+
+    def install(self):
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            self._prev[sig] = signal.signal(sig, self._handler)
+        return self
+
+    def _handler(self, signum, frame):
+        print(f"[preemption] signal {signum} received; will checkpoint "
+              "after the current step")
+        self.requested = True
+
+    def uninstall(self):
+        for sig, prev in self._prev.items():
+            signal.signal(sig, prev)
+
+
 def run_epoch(step_fn, state, loader, mesh, key, *, train: bool,
               eval_fn=None, params_for_eval=None, print_freq: int = 5,
               epoch: int = 0, writer=None, iteration: int = 0,
               max_steps: int = 0, start_batch: int = 0,
-              step_save_fn=None, save_every_steps: int = 0):
+              step_save_fn=None, save_every_steps: int = 0,
+              guard=None):
     meters = MetricBundle()
     tic = time.time()
     it = loader.iterate(start_batch) if hasattr(loader, "iterate") \
@@ -187,6 +217,10 @@ def run_epoch(step_fn, state, loader, mesh, key, *, train: bool,
             metrics = eval_fn(params_for_eval, xb,
                               jax.random.fold_in(key, idx))
         metrics = {k: float(v) for k, v in metrics.items()}
+        if not math.isfinite(metrics.get("loss", 0.0)):
+            raise FloatingPointError(
+                f"non-finite loss at epoch {epoch} step {idx}: "
+                f"{metrics} — rerun with --debug_nans to locate the op")
         meters.update(metrics, n=batch.shape[0])
         if idx % print_freq == 0:
             dt = time.time() - tic
@@ -200,9 +234,13 @@ def run_epoch(step_fn, state, loader, mesh, key, *, train: bool,
                 writer.add_scalar("local/accuracy", metrics["top1"],
                                   iteration)
                 iteration += 1
-        if (save_every_steps and train and step_save_fn is not None
-                and (idx + 1) % save_every_steps == 0):
+        preempted = guard is not None and guard.requested
+        if (train and step_save_fn is not None
+                and (preempted or (save_every_steps
+                                   and (idx + 1) % save_every_steps == 0))):
             step_save_fn(state, epoch, idx)
+        if preempted:
+            raise SystemExit("[preemption] checkpointed and exiting")
     return state, meters, iteration
 
 
@@ -330,6 +368,8 @@ def main(argv=None) -> None:
 
         from dpc_tpu.utils.profiling import trace
 
+        guard = PreemptionGuard().install() if step_mgr else None
+
         def save_mid_epoch(st, ep, batch_idx):
             host = jax.device_get(st)
             ckpt.save(step_mgr, iteration + batch_idx + ep * 100000,
@@ -345,7 +385,9 @@ def main(argv=None) -> None:
                 iteration=iteration, max_steps=args.steps_per_epoch,
                 start_batch=start_batch if epoch == start_epoch else 0,
                 step_save_fn=save_mid_epoch if step_mgr else None,
-                save_every_steps=args.save_every_steps)
+                save_every_steps=args.save_every_steps, guard=guard)
+        if guard is not None:
+            guard.uninstall()
         _, vmeters, _ = run_epoch(
             step_fn, state, val_loader, mesh, ekey, train=False,
             eval_fn=eval_fn, params_for_eval=state.params,

@@ -43,10 +43,6 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
-def local_nce(score: jax.Array, targets: jax.Array):
-    return nce.nce_loss(score, targets)
-
-
 def _global_score_and_targets(pred: jax.Array, gt: jax.Array,
                               cfg: DPCConfig, axis_name: str):
     """Score local predictions against the all-gathered global GT pool."""

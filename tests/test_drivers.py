@@ -85,3 +85,45 @@ def test_mid_epoch_resume(tmp_path, capsys):
     pretrain.main(args + ["--epochs", "1", "--resume", exp])
     out = capsys.readouterr().out
     assert "resumed mid-epoch: epoch 0 batch 2" in out
+
+
+def test_preemption_checkpoint(tmp_path):
+    """SIGTERM mid-training → checkpoint lands and the process exits
+    cleanly; resume continues from the interrupted batch."""
+    import subprocess
+    import sys
+    import time as _time
+
+    log_dir = str(tmp_path / "preempt")
+    code = f"""
+import jax; jax.config.update("jax_platforms", "cpu")
+import os
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \\
+    " --xla_force_host_platform_device_count=8"
+print("PID", os.getpid(), flush=True)
+from dpc_tpu.train import pretrain
+pretrain.main({TINY!r} + ["--pred_step", "1", "--epochs", "50",
+               "--steps_per_epoch", "0", "--save_every_steps", "1",
+               "--log_dir", {log_dir!r}])
+"""
+    proc = subprocess.Popen([sys.executable, "-c", code],
+                            stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True,
+                            cwd="/root/repo")
+    # wait until training is actually stepping, then preempt
+    saw_step = False
+    t0 = _time.time()
+    lines = []
+    while _time.time() - t0 < 600:
+        line = proc.stdout.readline()
+        lines.append(line)
+        if "[train] epoch 0 [2" in line:
+            saw_step = True
+            proc.send_signal(15)  # SIGTERM
+            break
+    assert saw_step, "".join(lines[-20:])
+    out, _ = proc.communicate(timeout=600)
+    assert "[preemption] checkpointed and exiting" in out, out[-2000:]
+
+    (exp,) = glob.glob(os.path.join(log_dir, "*"))
+    assert glob.glob(os.path.join(exp, "model_steps", "*"))
