@@ -224,13 +224,11 @@ def make_dataset(dataset: str, data_root: str, mode: str,
             "train_split.csv" if mode == "train" else "val_split.csv")
         class_file = os.path.join(data_root, "kinetics400", "classInd.txt")
     elif dataset in ("ucf101", "hmdb51"):
-        # train/val/test split CSVs live next to classInd.txt; when no val
-        # split exists (hmdb51 has train/test only) fall back to test
+        # the reference uses the TEST split for val too, 30%-subsampled
+        # (dpc/dataset_3d.py:157-163,184; eval/dataset_3d_lc.py:41-46,69)
+        part = "train" if mode == "train" else "test"
         split_file = os.path.join(data_root, dataset,
-                                  f"{mode}_split{split:02d}.csv")
-        if not os.path.exists(split_file) and mode == "val":
-            split_file = os.path.join(data_root, dataset,
-                                      f"test_split{split:02d}.csv")
+                                  f"{part}_split{split:02d}.csv")
         class_file = os.path.join(data_root, dataset, "classInd.txt")
     else:
         raise ValueError(f"unknown dataset {dataset!r}")

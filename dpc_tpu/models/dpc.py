@@ -128,32 +128,35 @@ def apply_dpc(params: Params, x: jax.Array, *, cfg: DPCConfig,
 def extract_context(params: Params, x: jax.Array, *, cfg: DPCConfig,
                     num_blocks: Optional[int] = None, train: bool = False,
                     key: Optional[jax.Array] = None, dtype=None,
-                    state: Optional[Params] = None,
-                    axis_name: Optional[str] = None
-                    ) -> tuple[jax.Array, Optional[Params]]:
-    """Backbone+GRU trunk shared with the downstream classifier: run the
-    aggregator over ALL blocks and return the last-step context
-    ``[B, ls, ls, D]`` (the representation transferred to action
-    classification, ``eval/model_3d_lc.py:47-59``)."""
-    b, n = x.shape[:2]
+                    order: str = "lc",
+                    axis_name: Optional[str] = None) -> jax.Array:
+    """Feature-extraction utility: run the backbone+GRU trunk over
+    ``num_blocks`` blocks and return the last-step dense context
+    ``[B, ls, ls, D]`` from a DPC parameter tree.
+
+    ``order`` picks the activation/pool ordering, which differs between
+    the two reference heads and does NOT commute:
+      * ``'lc'`` — ReLU then temporal mean (``eval/model_3d_lc.py:53-55``):
+        the representation the downstream classifier consumes;
+      * ``'dpc'`` — temporal mean then ReLU (``dpc/model_3d.py:53-56``):
+        what the pretraining aggregator saw.
+    """
+    b, n, sl, h, w, c = x.shape
     if num_blocks is None:
         num_blocks = n
-    if state is None:
-        feature_pre = encode_blocks(params, x, cfg=cfg, train=train,
-                                    dtype=dtype, axis_name=axis_name)
-        new_state = None
+    feat, _ = resnet2d3d.apply_resnet2d3d(
+        params["backbone"], None, x.reshape(b * n, sl, h, w, c),
+        network=cfg.network, train=train, dtype=dtype, axis_name=axis_name)
+    if order == "lc":
+        feat = jnp.mean(jax.nn.relu(feat).astype(jnp.float32), axis=1)
+    elif order == "dpc":
+        feat = jax.nn.relu(jnp.mean(feat.astype(jnp.float32), axis=1))
     else:
-        bsz, nn_, sl, h, w, c = x.shape
-        feat, new_state = resnet2d3d.apply_resnet2d3d(
-            params["backbone"], state, x.reshape(bsz * nn_, sl, h, w, c),
-            network=cfg.network, train=train, dtype=dtype,
-            axis_name=axis_name)
-        feat = jnp.mean(feat.astype(jnp.float32), axis=1)
-        ls = cfg.last_size
-        feature_pre = feat.reshape(bsz, nn_, ls, ls, cfg.feature_size)
-    feature = jax.nn.relu(feature_pre)
+        raise ValueError(f"unknown order {order!r}")
+    ls = cfg.last_size
+    feature = feat.reshape(b, n, ls, ls, cfg.feature_size)
     _, last_states = convgru.apply_convgru(
         params["agg"], feature[:, :num_blocks],
         kernel_size=cfg.gru_kernel_size, dropout=cfg.gru_dropout,
         train=train, key=key, dtype=dtype, impl=cfg.gru_impl)
-    return last_states[:, -1], new_state
+    return last_states[:, -1]

@@ -159,7 +159,16 @@ def run_test(cfg: ExperimentConfig, params, bn_state, exp_dir: str,
     tic = time.time()
     for i in range(len(ds)):
         clip, label = ds.sample(i, rng)
-        logits = np.asarray(forward(params, bn_state, jnp.asarray(clip)))
+        # pad the window count up to a small bucket so XLA compiles a
+        # handful of shapes instead of one per distinct video length
+        # (SURVEY §7 hard-part 6: static-shape discipline)
+        nw = clip.shape[0]
+        bucket = max(4, 1 << (nw - 1).bit_length())
+        if bucket != nw:
+            clip = np.concatenate(
+                [clip, np.repeat(clip[-1:], bucket - nw, axis=0)])
+        logits = np.asarray(forward(params, bn_state,
+                                    jnp.asarray(clip)))[:nw]
         probs = jax.nn.softmax(jnp.asarray(logits), axis=-1)
         mean_probs = np.asarray(jnp.mean(probs, axis=0))
         order = np.argsort(-mean_probs)

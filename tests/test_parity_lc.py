@@ -76,3 +76,28 @@ def test_lc_train_mode_updates_bn_state():
     np.testing.assert_array_equal(
         np.asarray(eval_state["backbone"]["stem"]["bn"]["mean"]),
         np.asarray(state["backbone"]["stem"]["bn"]["mean"]))
+
+
+def test_extract_context_matches_lc_trunk():
+    """extract_context(order='lc') on a DPC tree must equal the LC model's
+    pre-head context when the trunk weights are shared."""
+    import jax.numpy as jnp
+    from dpc_tpu.core import checkpoint as ckpt
+    from dpc_tpu.models import dpc as dpc_mod
+
+    cfg = DPCConfig(img_dim=64, num_seq=3, seq_len=5)
+    dpc_params = dpc_mod.init_dpc(jax.random.PRNGKey(0), cfg)
+    lc_params, lc_state = lc.init_lc(jax.random.PRNGKey(1), cfg, 5)
+    lc_params = ckpt.transfer_load(lc_params, dpc_params, verbose=False)
+
+    x = jnp.asarray(np.random.default_rng(2).normal(
+        size=(2, 3, 5, 64, 64, 3)).astype(np.float32))
+    ctx = dpc_mod.extract_context(dpc_params, x, cfg=cfg, order="lc")
+    ctx_pooled = np.asarray(ctx).mean(axis=(1, 2))
+    # LC context is the spatially-pooled last GRU output, pre-BN.  The DPC
+    # tree has no running stats (batch-stat BN), so compare against LC in
+    # train mode (batch stats too), dropout off (no key).
+    _, lc_ctx, _ = lc.apply_lc(lc_params, lc_state, x, cfg=cfg,
+                               num_classes=5, train=True, key=None)
+    np.testing.assert_allclose(ctx_pooled, np.asarray(lc_ctx)[:, 0],
+                               rtol=1e-4, atol=1e-5)
