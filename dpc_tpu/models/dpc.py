@@ -86,6 +86,10 @@ def apply_dpc(params: Params, x: jax.Array, *, cfg: DPCConfig,
     ``[B·P·SQ, B·P·SQ]`` similarity matrix and pred/gt are the
     ``[B, P, ls, ls, D]`` embeddings that produced it.
     """
+    if x.ndim != 6:
+        raise ValueError(
+            f"apply_dpc expects [B, num_seq, seq_len, H, W, 3] (6-D, "
+            f"channels-last); got shape {x.shape}")
     b, n = x.shape[:2]
     p_steps = cfg.pred_step
     ctx = n - p_steps

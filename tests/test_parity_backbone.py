@@ -86,3 +86,22 @@ def test_final_block_is_preactivation():
     # layer4's last block must skip its final ReLU: outputs go negative.
     jy, _ = _run_pair("resnet18", track=False, shape=(1, 5, 64, 64))
     assert (jy < 0).any()
+
+
+def test_deep_family_parameter_counts():
+    """resnet101/152/200 build and their parameter counts match the
+    reference modules exactly (cheap structural parity — forward parity
+    for the Bottleneck wiring is covered by the resnet50 f64 test)."""
+    for network in ("resnet101", "resnet152", "resnet200"):
+        tmodel = ref.ref_resnet(network, track_running_stats=False)
+        want = sum(p.numel() for p in tmodel.parameters())
+        params, _ = resnet2d3d.init_resnet2d3d(
+            jax.random.PRNGKey(0), network, track_running_stats=False)
+        got = sum(np.prod(x.shape) for x in jax.tree.leaves(params))
+        assert got == want, (network, got, want)
+        # key map covers every torch tensor
+        keymap = tc._backbone_key_map(params)
+        tkeys = {tk for tk, _ in keymap.values()}
+        sd = {k for k in tmodel.state_dict()
+              if "num_batches" not in k and "running_" not in k}
+        assert tkeys == sd, (network, sd - tkeys, tkeys - sd)
