@@ -142,3 +142,26 @@ def test_freeze_backbone(mesh, setup):
         stem_before)
     assert not np.allclose(
         np.asarray(new_state.params["pred"]["conv1"]["w"]), pred_before)
+
+
+def test_cross_replica_bn_matches_full_batch(mesh, setup):
+    """--cross_replica_bn: sharded batch-stat BN must equal single-device
+    BN over the full batch (the SyncBN upgrade)."""
+    from jax.sharding import PartitionSpec as P
+
+    from dpc_tpu.models import layers as L
+
+    params, _ = L.init_batchnorm(8, track_running_stats=False), None
+    x = np.asarray(jax.random.normal(jax.random.PRNGKey(3), (16, 4, 8)))
+
+    def device_bn(x):
+        y, _ = L.batchnorm(params[0], None, x, train=True,
+                           axis_name="data")
+        return y
+
+    sharded = jax.jit(jax.shard_map(
+        device_bn, mesh=mesh, in_specs=P("data"), out_specs=P("data"),
+        check_vma=False))
+    got = np.asarray(sharded(jnp.asarray(x)))
+    want, _ = L.batchnorm(params[0], None, jnp.asarray(x), train=True)
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-5, atol=1e-6)
