@@ -328,6 +328,32 @@ def main(argv=None) -> None:
     step_fn = pretrain_step.make_pretrain_step(m, t, mesh, tx)
     eval_fn = pretrain_step.make_eval_step(m, t, mesh)
 
+    # pre-compile; on HBM OOM retry with rematerialization (recompute
+    # activations in the backward) instead of dying — remat costs ~2x step
+    # time, so it is opt-in-or-fallback, never the default
+    if not t.remat:
+        if t.device_augment:
+            pre = int(round(m.img_dim * 1.25))
+            bshape = jax.ShapeDtypeStruct(
+                (t.batch_size, m.num_seq, m.seq_len, pre, pre, 3),
+                jnp.uint8)
+        else:
+            bshape = jax.ShapeDtypeStruct(
+                (t.batch_size, m.num_seq, m.seq_len, m.img_dim,
+                 m.img_dim, 3), jnp.float32)
+        try:
+            step_fn.lower(state, bshape,
+                          jax.random.PRNGKey(0)).compile()
+        except Exception as exc:
+            if "Ran out of memory" not in str(exc) and                     "RESOURCE_EXHAUSTED" not in str(exc):
+                raise
+            print("[memory] step does not fit HBM; retrying with "
+                  "rematerialization (--remat)")
+            import dataclasses as _dc
+
+            t = _dc.replace(t, remat=True)
+            step_fn = pretrain_step.make_pretrain_step(m, t, mesh, tx)
+
     per_host_batch = t.batch_size // num_shards
     train_loader = ClipLoader(get_dataset(cfg, "train", args.unit_test),
                               per_host_batch,

@@ -1,0 +1,92 @@
+"""REAL multi-process multi-host test: two jax processes (4 virtual CPU
+devices each) form one 8-device mesh; per-host loader shards feed
+process-local data; the sharded train step produces the same loss as the
+single-process 8-device run."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+WORKER = r"""
+import os, sys, json
+proc_id = int(sys.argv[1])
+port = sys.argv[2]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                           num_processes=2, process_id=proc_id)
+import jax.numpy as jnp
+import numpy as np
+from dpc_tpu.core.config import DPCConfig, TrainConfig
+from dpc_tpu.models import dpc
+from dpc_tpu.parallel import mesh as meshlib
+from dpc_tpu.train import optim, pretrain_step
+
+assert jax.process_count() == 2 and len(jax.devices()) == 8
+CFG = DPCConfig(img_dim=32, num_seq=3, seq_len=4, pred_step=1)
+B = 16
+tcfg = TrainConfig(batch_size=B, lr=1e-3, wd=1e-5, negatives="global",
+                   donate=False)
+mesh = meshlib.make_mesh()
+params = dpc.init_dpc(jax.random.PRNGKey(0), CFG)
+tx = optim.pretrain_optimizer(params, tcfg.lr, tcfg.wd)
+state = meshlib.replicate(mesh, pretrain_step.TrainState(
+    params, tx.init(params), jnp.zeros((), jnp.int32)))
+step = pretrain_step.make_pretrain_step(CFG, tcfg, mesh, tx)
+
+full = np.asarray(jax.random.normal(
+    jax.random.PRNGKey(1), (B, 3, 4, 32, 32, 3)), np.float32)
+local = full[proc_id * (B // 2):(proc_id + 1) * (B // 2)]
+xb = meshlib.shard_batch(mesh, local)
+state, metrics = step(state, xb, jax.random.PRNGKey(42))
+print("RESULT " + json.dumps({"loss": float(metrics["loss"])}), flush=True)
+"""
+
+
+def test_two_process_train_step_matches_single_process(tmp_path):
+    env = dict(os.environ,
+               PYTHONPATH="/root/repo:/root/.axon_site")
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    port = "19863"
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(i), port],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, cwd="/root/repo") for i in range(2)]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    losses = []
+    for out in outs:
+        lines = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        assert lines, out[-2000:]
+        losses.append(json.loads(lines[0][len("RESULT "):])["loss"])
+    assert abs(losses[0] - losses[1]) < 1e-6, losses
+
+    # single-process 8-device reference with the SAME global batch
+    import jax
+    import jax.numpy as jnp
+
+    from dpc_tpu.core.config import DPCConfig, TrainConfig
+    from dpc_tpu.models import dpc
+    from dpc_tpu.parallel import mesh as meshlib
+    from dpc_tpu.train import optim, pretrain_step
+
+    CFG = DPCConfig(img_dim=32, num_seq=3, seq_len=4, pred_step=1)
+    B = 16
+    tcfg = TrainConfig(batch_size=B, lr=1e-3, wd=1e-5, negatives="global",
+                       donate=False)
+    mesh = meshlib.make_mesh()
+    params = dpc.init_dpc(jax.random.PRNGKey(0), CFG)
+    tx = optim.pretrain_optimizer(params, tcfg.lr, tcfg.wd)
+    state = meshlib.replicate(mesh, pretrain_step.TrainState(
+        params, tx.init(params), jnp.zeros((), jnp.int32)))
+    step = pretrain_step.make_pretrain_step(CFG, tcfg, mesh, tx)
+    full = np.asarray(jax.random.normal(
+        jax.random.PRNGKey(1), (B, 3, 4, 32, 32, 3)), np.float32)
+    xb = meshlib.shard_batch(mesh, jnp.asarray(full))
+    _, metrics = step(state, xb, jax.random.PRNGKey(42))
+    np.testing.assert_allclose(losses[0], float(metrics["loss"]),
+                               rtol=1e-5)
