@@ -132,7 +132,120 @@ def _core_fwd(x_seq, h0, wzr_x, wzr_h, b_zr, wo_x, wo_h, b_o, masks):
     return out, (x_seq, h0, out, wzr_x, wzr_h, b_zr, wo_x, wo_h, b_o, masks)
 
 
+# ---------------------------------------------------------------------------
+# Pallas backward: reversed recurrence per row tile, gates recomputed in
+# VMEM, weight gradients accumulated in resident output blocks
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(x_ref, h0_ref, out_ref, mask_ref, g_ref, wzrx_ref,
+                wzrh_ref, wox_ref, woh_ref, bzr_ref, bo_ref,
+                dx_ref, dh0_ref, dwzrx_ref, dwzrh_ref, dbzr_ref,
+                dwox_ref, dwoh_ref, dbo_ref, dh_scr, *, t_steps: int):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dwzrx_ref[:] = jnp.zeros_like(dwzrx_ref)
+        dwzrh_ref[:] = jnp.zeros_like(dwzrh_ref)
+        dbzr_ref[:] = jnp.zeros_like(dbzr_ref)
+        dwox_ref[:] = jnp.zeros_like(dwox_ref)
+        dwoh_ref[:] = jnp.zeros_like(dwoh_ref)
+        dbo_ref[:] = jnp.zeros_like(dbo_ref)
+
+    f32 = jnp.float32
+    contract_last = (((1,), (1,)), ((), ()))   # a @ b.T without transpose
+    dh_scr[:] = jnp.zeros_like(dh_scr)
+    ch = dh_scr.shape[-1]
+    for t in reversed(range(t_steps)):
+        x = x_ref[t].astype(f32)
+        h_in = (h0_ref[:] if t == 0 else out_ref[t - 1]).astype(f32)
+        z, r_, o = _gates(x, h_in, wzrx_ref[:], wzrh_ref[:], bzr_ref[:],
+                          wox_ref[:], woh_ref[:], bo_ref[:])
+        gh = dh_scr[:] + g_ref[t].astype(f32)
+        dh_raw = gh * mask_ref[t]
+        dz = dh_raw * (o - h_in)
+        do = dh_raw * z
+        dh = dh_raw * (1.0 - z)
+        dao = do * (1.0 - o * o)
+        dhr = jax.lax.dot_general(dao, woh_ref[:], contract_last,
+                                  preferred_element_type=f32)
+        dh += dhr * r_
+        dr = dhr * h_in
+        daz = dz * z * (1.0 - z)
+        dar = dr * r_ * (1.0 - r_)
+        dazr = jnp.concatenate([daz, dar], axis=-1)
+        dx_ref[t] = (
+            jax.lax.dot_general(dazr, wzrx_ref[:], contract_last,
+                                preferred_element_type=f32)
+            + jax.lax.dot_general(dao, wox_ref[:], contract_last,
+                                  preferred_element_type=f32)
+        ).astype(dx_ref.dtype)
+        dh += jax.lax.dot_general(dazr, wzrh_ref[:], contract_last,
+                                  preferred_element_type=f32)
+        dh_scr[:] = dh
+        dwzrx_ref[:] += jnp.dot(x.T, dazr, preferred_element_type=f32)
+        dwzrh_ref[:] += jnp.dot(h_in.T, dazr, preferred_element_type=f32)
+        dbzr_ref[:] += jnp.sum(dazr, 0, keepdims=True)
+        dwox_ref[:] += jnp.dot(x.T, dao, preferred_element_type=f32)
+        dwoh_ref[:] += jnp.dot((h_in * r_).T, dao,
+                               preferred_element_type=f32)
+        dbo_ref[:] += jnp.sum(dao, 0, keepdims=True)
+    dh0_ref[:] = dh_scr[:].astype(dh0_ref.dtype)
+
+
+def _backward_pallas(res, g_out):
+    x_seq, h0, h_seq, wzr_x, wzr_h, b_zr, wo_x, wo_h, b_o, masks = res
+    t, r, cin = x_seq.shape
+    ch = h0.shape[-1]
+    r_tile = _pick_tile(r, t, cin, ch, budget_bytes=6 * 2 ** 20)
+    grid = (r // r_tile,)
+    row = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * (len(shape) - 2) + (i, 0),
+        memory_space=pltpu.VMEM)
+    full = lambda s: pl.BlockSpec(s, lambda i: (0,) * len(s),
+                                  memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, t_steps=t),
+        grid=grid,
+        in_specs=[
+            row((t, r_tile, cin)), row((r_tile, ch)),
+            row((t, r_tile, ch)), row((t, r_tile, ch)),
+            row((t, r_tile, ch)),
+            full((cin, 2 * ch)), full((ch, 2 * ch)),
+            full((cin, ch)), full((ch, ch)),
+            full((1, 2 * ch)), full((1, ch)),
+        ],
+        out_specs=[
+            row((t, r_tile, cin)), row((r_tile, ch)),
+            full((cin, 2 * ch)), full((ch, 2 * ch)), full((1, 2 * ch)),
+            full((cin, ch)), full((ch, ch)), full((1, ch)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, r, cin), x_seq.dtype),
+            jax.ShapeDtypeStruct((r, ch), h0.dtype),
+            jax.ShapeDtypeStruct((cin, 2 * ch), jnp.float32),
+            jax.ShapeDtypeStruct((ch, 2 * ch), jnp.float32),
+            jax.ShapeDtypeStruct((1, 2 * ch), jnp.float32),
+            jax.ShapeDtypeStruct((cin, ch), jnp.float32),
+            jax.ShapeDtypeStruct((ch, ch), jnp.float32),
+            jax.ShapeDtypeStruct((1, ch), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((r_tile, ch), jnp.float32)],
+        interpret=_interpret(),
+    )(x_seq, h0, h_seq, masks, g_out, wzr_x, wzr_h, wo_x, wo_h,
+      b_zr[None] if b_zr.ndim == 1 else b_zr,
+      b_o[None] if b_o.ndim == 1 else b_o)
+    dx, dh0, dwzrx, dwzrh, dbzr, dwox, dwoh, dbo = outs
+    return (dx, dh0, dwzrx.astype(wzr_x.dtype), dwzrh.astype(wzr_h.dtype),
+            dbzr[0].astype(b_zr.dtype), dwox.astype(wo_x.dtype),
+            dwoh.astype(wo_h.dtype), dbo[0].astype(b_o.dtype), None)
+
+
 def _core_bwd(res, g_out):
+    return _backward_pallas(res, g_out)
+
+
+def _core_bwd_jax(res, g_out):
     x_seq, h0, h_seq, wzr_x, wzr_h, b_zr, wo_x, wo_h, b_o, masks = res
     t, r, cin = x_seq.shape
     ch = h0.shape[-1]
