@@ -127,3 +127,18 @@ pretrain.main({TINY!r} + ["--pred_step", "1", "--epochs", "50",
 
     (exp,) = glob.glob(os.path.join(log_dir, "*"))
     assert glob.glob(os.path.join(exp, "model_steps", "*"))
+
+
+def test_finetune_resume(pretrain_dir, tmp_path, capsys):
+    from dpc_tpu.train import evaluate
+
+    log_dir = str(tmp_path / "ftresume")
+    args = TINY + ["--log_dir", log_dir, "--pretrain", pretrain_dir,
+                   "--train_what", "last"]
+    evaluate.main(args + ["--epochs", "1"])
+    (run,) = glob.glob(os.path.join(log_dir, "*"))
+    capsys.readouterr()
+    evaluate.main(args + ["--epochs", "2", "--resume", run])
+    out = capsys.readouterr().out
+    assert "resumed epoch 1" in out
+    assert "Finetune from ep 1 to ep 2 finished" in out
