@@ -379,6 +379,7 @@ def main(argv=None) -> None:
     except Exception as e:  # pragma: no cover
         print(f"tensorboard disabled: {e}")
 
+    guard = PreemptionGuard().install() if step_mgr else None
     for epoch in range(start_epoch, t.epochs):
         train_loader.set_epoch(epoch)
         val_loader.set_epoch(epoch)
@@ -393,8 +394,6 @@ def main(argv=None) -> None:
                                     dataformats="NHWC")
 
         from dpc_tpu.utils.profiling import trace
-
-        guard = PreemptionGuard().install() if step_mgr else None
 
         def save_mid_epoch(st, ep, batch_idx):
             host = jax.device_get(st)
@@ -412,8 +411,6 @@ def main(argv=None) -> None:
                 start_batch=start_batch if epoch == start_epoch else 0,
                 step_save_fn=save_mid_epoch if step_mgr else None,
                 save_every_steps=args.save_every_steps, guard=guard)
-        if guard is not None:
-            guard.uninstall()
         _, vmeters, _ = run_epoch(
             step_fn, state, val_loader, mesh, ekey, train=False,
             eval_fn=eval_fn, params_for_eval=state.params,
