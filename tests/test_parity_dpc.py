@@ -79,3 +79,30 @@ def test_dpc_train_mode_runs_with_dropout():
                              key=jax.random.PRNGKey(2))
     # different dropout draws ⇒ different scores
     assert not np.allclose(np.asarray(s1), np.asarray(s2))
+
+
+def test_dpc_with_bottleneck_backbone():
+    """resnet50-based DPC: feature_size 1024 flows through GRU/predictor/
+    score (the wider-trunk config family)."""
+    cfg = DPCConfig(img_dim=32, num_seq=3, seq_len=4, pred_step=1,
+                    network="resnet50")
+    assert cfg.feature_size == 1024
+    params = dpc.init_dpc(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(1, 3, 4, 32, 32, 3)).astype(np.float32))
+    score, pred, gt = dpc.apply_dpc(params, x, cfg=cfg, train=False)
+    assert score.shape == (1, 1)
+    assert pred.shape == (1, 1, 1, 1, 1024)
+
+
+def test_dpc_with_two_layer_gru():
+    cfg = DPCConfig(img_dim=32, num_seq=4, seq_len=4, pred_step=2,
+                    gru_num_layers=2)
+    params = dpc.init_dpc(jax.random.PRNGKey(0), cfg)
+    assert len(params["agg"]["cells"]) == 2
+    x = jnp.asarray(np.random.default_rng(1).normal(
+        size=(2, 4, 4, 32, 32, 3)).astype(np.float32))
+    score, _, _ = dpc.apply_dpc(params, x, cfg=cfg, train=True,
+                                key=jax.random.PRNGKey(2))
+    assert score.shape == (4, 4)
+    assert np.isfinite(np.asarray(score)).all()
