@@ -102,6 +102,7 @@ class DataConfig:
     downsample: int = 3      # frame stride inside a block ("--ds")
     val_subsample: float = 0.3
     num_workers: int = 8
+    worker_mode: str = "thread"  # "thread" | "process" (GIL-bound transforms)
     prefetch: int = 4
     # synthetic-dataset knobs (CI / smoke tests without real video data)
     synthetic_num_videos: int = 32

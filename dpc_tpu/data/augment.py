@@ -289,17 +289,37 @@ def _grayscale(img: np.ndarray) -> np.ndarray:
     return g[..., None]
 
 
+def _blend_lut(factor: float, other: float) -> np.ndarray:
+    """256-entry uint8 lookup table for ``_blend(v, other, factor)`` with a
+    scalar ``other`` — bit-identical to the float32 per-pixel formula
+    because the identical computation runs once per 8-bit value."""
+    v = np.arange(256, dtype=np.float32)
+    return np.clip(v * factor + np.float32(other) * (1.0 - factor),
+                   0, 255).astype(np.uint8)
+
+
+def _apply_lut(img: np.ndarray, lut: np.ndarray) -> np.ndarray:
+    if img.ndim == 3:
+        return cv2.LUT(img, lut)
+    return lut[img]
+
+
 def adjust_brightness(img: np.ndarray, factor: float) -> np.ndarray:
-    return _blend(img, np.zeros_like(img), factor)
+    return _apply_lut(img, _blend_lut(factor, 0.0))
 
 
 def adjust_contrast(img: np.ndarray, factor: float) -> np.ndarray:
-    mean = np.full_like(img, int(_grayscale(img).mean() + 0.5))
-    return _blend(img, mean, factor)
+    mean = int(_grayscale(img).mean() + 0.5)
+    return _apply_lut(img, _blend_lut(factor, float(mean)))
 
 
 def adjust_saturation(img: np.ndarray, factor: float) -> np.ndarray:
-    return _blend(img, np.broadcast_to(_grayscale(img), img.shape), factor)
+    # gray stays [H, W, 1]: broadcasting in the arithmetic avoids
+    # materialising the 3-channel float copy _blend would make
+    out = img.astype(np.float32)
+    out *= factor
+    out += _grayscale(img).astype(np.float32) * (1.0 - factor)
+    return np.clip(out, 0, 255).astype(np.uint8)
 
 
 def adjust_hue(img: np.ndarray, factor: float) -> np.ndarray:
@@ -402,13 +422,30 @@ class RandomRotation:
 
 
 class Normalize:
-    """uint8 [T,H,W,C] → float32 normalised (ToTensor ÷255 + mean/std)."""
+    """uint8 [T,H,W,C] → float32 normalised (ToTensor ÷255 + mean/std).
+
+    Computed as one fused per-channel scale+offset via ``cv2.transform``
+    (a single SIMD pass, ~4× faster than the chained numpy expression);
+    differs from the literal ((x/255 − mean)/std) by ≤5e-7 — see
+    PARITY.md.
+    """
 
     def __init__(self, mean=IMAGENET_MEAN, std=IMAGENET_STD):
         self.mean = np.asarray(mean, np.float32)
         self.std = np.asarray(std, np.float32)
+        n = len(self.mean)
+        m = np.zeros((n, n + 1), np.float64)
+        m[np.arange(n), np.arange(n)] = 1.0 / (255.0 * self.std)
+        m[:, n] = -self.mean / self.std
+        self._m = m.astype(np.float32)
 
     def __call__(self, clip, rng=None):
+        c = clip.shape[-1]
+        if clip.ndim >= 3 and c == len(self.mean) and 1 <= c <= 4:
+            flat = np.ascontiguousarray(clip).reshape(
+                -1, clip.shape[-2], c)
+            return cv2.transform(flat.astype(np.float32),
+                                 self._m).reshape(clip.shape)
         return (clip.astype(np.float32) / 255.0 - self.mean) / self.std
 
 

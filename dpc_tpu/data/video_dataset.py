@@ -115,9 +115,11 @@ class FrameClipDataset:
                  mode: str = "train", return_label: bool = False,
                  window_stride: Optional[int] = None,
                  class_names: Optional[dict[int, str]] = None,
-                 decode_size: Optional[tuple[int, int]] = None):
+                 decode_size: Optional[tuple[int, int]] = None,
+                 decode_threads: int = 4):
         self.transform = transform
         self.decode_size = decode_size
+        self.decode_threads = decode_threads
         self.num_seq = num_seq
         self.seq_len = seq_len
         self.downsample = downsample
@@ -142,9 +144,42 @@ class FrameClipDataset:
         flat = indices.reshape(-1)
         # clamp defensively: CSV vlen can overcount by a frame
         flat = np.minimum(flat, record.num_frames - 1)
-        frames = [load_frame(self._frame_path(record, int(i)),
-                             self.decode_size) for i in flat]
-        return np.stack(frames)
+        paths = [self._frame_path(record, int(i)) for i in flat]
+        batched = self._load_frames_native_batch(paths)
+        if batched is not None:
+            return batched
+        return np.stack([load_frame(p, self.decode_size) for p in paths])
+
+    def _load_frames_native_batch(self, paths: list) -> "np.ndarray | None":
+        """Decode a whole clip in ONE native call (pthread pool, GIL
+        released for the duration — the reference's answer to host feeding
+        is 32 worker processes, ``dpc/main.py:311``; ours is batch decode
+        that lets a thread-pool loader scale).  Returns None to fall back
+        to the per-frame path (native unavailable, or a corrupt frame
+        that needs the cv2/PIL retry chain)."""
+        from dpc_tpu import native
+
+        if not native.available():
+            return None
+        try:
+            buffers = []
+            for p in paths:
+                with open(p, "rb") as f:
+                    buffers.append(f.read())
+            if self.decode_size is not None:
+                th, tw = self.decode_size
+            else:
+                # frames of one video share dims (extraction contract);
+                # decode-to-native-dims of frame 0 sets the batch shape
+                first = native.decode_jpeg(buffers[0])
+                th, tw = first.shape[:2]
+            out, failures = native.decode_jpeg_batch(
+                buffers, th, tw, threads=self.decode_threads)
+            if failures:
+                return None  # per-frame path retries corrupt frames
+            return out
+        except (ValueError, OSError):
+            return None
 
     def sample(self, index: int, rng: np.random.Generator):
         """Load + transform one item.

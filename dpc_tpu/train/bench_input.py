@@ -25,27 +25,41 @@ def main(argv=None) -> None:
     p.add_argument("--img_dim", default=128, type=int)
     p.add_argument("--batch_size", default=32, type=int)
     p.add_argument("--num_workers", default=8, type=int)
+    p.add_argument("--worker_mode", default="thread",
+                   choices=["thread", "process"])
+    p.add_argument("--decode_only", action="store_true",
+                   help="decode+resize only (the --device_augment host "
+                        "profile); default runs the full host transform")
     p.add_argument("--batches", default=8, type=int)
     args = p.parse_args(argv)
 
     from dpc_tpu.data import augment
     from dpc_tpu.data.loader import ClipLoader
 
+    if args.decode_only:
+        pre = int(round(args.img_dim * 1.25))
+        transform, decode_size = augment.Compose([]), (pre, pre)
+    else:
+        transform = augment.pretrain_transform(
+            "k400" if args.dataset == "synthetic" else args.dataset,
+            args.img_dim)
+        decode_size = None
+
     if args.dataset == "synthetic":
         from dpc_tpu.data.synthetic import SyntheticVideoDataset
 
         ds = SyntheticVideoDataset(
-            transform=augment.pretrain_transform("k400", args.img_dim),
+            transform=transform,
             num_videos=max(256, args.batch_size * args.batches),
             video_len=256, frame_size=150)
     else:
         from dpc_tpu.data.video_dataset import make_dataset
 
-        ds = make_dataset(
-            args.dataset, args.data_root, "train",
-            augment.pretrain_transform(args.dataset, args.img_dim))
+        ds = make_dataset(args.dataset, args.data_root, "train", transform,
+                          decode_size=decode_size)
 
-    loader = ClipLoader(ds, args.batch_size, num_workers=args.num_workers)
+    loader = ClipLoader(ds, args.batch_size, num_workers=args.num_workers,
+                        worker_mode=args.worker_mode)
     it = iter(loader)
     next(it)  # warm the pool
     t0 = time.perf_counter()
@@ -60,7 +74,10 @@ def main(argv=None) -> None:
         "value": round(n / dt, 2),
         "unit": "clips/s",
         "workers": args.num_workers,
+        "worker_mode": args.worker_mode,
+        "decode_only": args.decode_only,
     }))
+    loader.close()
 
 
 if __name__ == "__main__":

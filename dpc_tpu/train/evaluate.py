@@ -82,6 +82,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"])
     p.add_argument("--num_devices", default=0, type=int)
     p.add_argument("--num_workers", default=8, type=int)
+    p.add_argument("--worker_mode", default="thread",
+                   choices=["thread", "process"])
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--synthetic_videos", default=32, type=int)
     p.add_argument("--unit_test", action="store_true")
@@ -103,7 +105,8 @@ def config_from_args(args) -> ExperimentConfig:
         data=DataConfig(dataset=args.dataset, data_root=args.data_root,
                         synthetic_num_videos=args.synthetic_videos,
                         split=args.split, downsample=args.ds,
-                        num_workers=args.num_workers),
+                        num_workers=args.num_workers,
+                        worker_mode=args.worker_mode),
         train=TrainConfig(batch_size=args.batch_size, seed=args.seed,
                           num_devices=args.num_devices,
                           print_freq=args.print_freq),
@@ -302,10 +305,12 @@ def main(argv=None) -> None:
     train_loader = ClipLoader(get_dataset(cfg, "train", args.unit_test),
                               cfg.train.batch_size,
                               num_workers=cfg.data.num_workers,
+                              worker_mode=cfg.data.worker_mode,
                               seed=cfg.train.seed)
     val_loader = ClipLoader(get_dataset(cfg, "val", args.unit_test),
                             cfg.train.batch_size,
                             num_workers=cfg.data.num_workers,
+                            worker_mode=cfg.data.worker_mode,
                             seed=cfg.train.seed + 1)
     print(f"train videos: {len(train_loader.dataset)}; "
           f"val videos: {len(val_loader.dataset)}")

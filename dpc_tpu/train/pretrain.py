@@ -82,6 +82,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "step; host workers only decode+resize")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--num_workers", default=8, type=int)
+    p.add_argument("--worker_mode", default="thread",
+                   choices=["thread", "process"],
+                   help="loader workers: threads (native GIL-free decode) "
+                        "or a process pool (GIL-bound transform chains; "
+                        "the reference's DataLoader strategy)")
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--synthetic_videos", default=32, type=int)
     p.add_argument("--unit_test", action="store_true",
@@ -110,7 +115,8 @@ def config_from_args(args) -> ExperimentConfig:
         data=DataConfig(dataset=args.dataset, data_root=args.data_root,
                         synthetic_num_videos=args.synthetic_videos,
                         downsample=downsample,
-                        num_workers=args.num_workers),
+                        num_workers=args.num_workers,
+                        worker_mode=args.worker_mode),
         train=TrainConfig(batch_size=args.batch_size, lr=args.lr,
                           wd=args.wd, epochs=args.epochs,
                           start_epoch=args.start_epoch,
@@ -358,11 +364,13 @@ def main(argv=None) -> None:
     train_loader = ClipLoader(get_dataset(cfg, "train", args.unit_test),
                               per_host_batch,
                               num_workers=cfg.data.num_workers,
+                              worker_mode=cfg.data.worker_mode,
                               seed=t.seed, shard_id=shard_id,
                               num_shards=num_shards)
     val_loader = ClipLoader(get_dataset(cfg, "val", args.unit_test),
                             per_host_batch,
                             num_workers=cfg.data.num_workers,
+                            worker_mode=cfg.data.worker_mode,
                             seed=t.seed + 1, shard_id=shard_id,
                             num_shards=num_shards)
     print(f"train videos: {len(train_loader.dataset)}; "

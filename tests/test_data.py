@@ -349,3 +349,84 @@ class TestFiveCropAndFlow:
         # 4 windows × 5 crops = 20
         assert clip.shape == (20, 2, 3, 32, 32, 3)
         assert label == 2
+
+
+class TestBatchedNativeDecode:
+    """The hot path must use ONE native batch-decode call per clip and
+    produce exactly what the per-frame path produces."""
+
+    def _tree(self, tmp_path, n_frames=30):
+        import cv2
+        d = tmp_path / "classA" / "v_0"
+        d.mkdir(parents=True)
+        rng = np.random.default_rng(7)
+        for i in range(n_frames):
+            cv2.imwrite(str(d / f"image_{i + 1:05d}.jpg"),
+                        rng.integers(0, 255, (64, 80, 3), np.uint8))
+        return [video_dataset.VideoRecord(str(d), n_frames)]
+
+    def test_batch_path_matches_per_frame(self, tmp_path):
+        from dpc_tpu import native
+        if not native.available():
+            pytest.skip("native decoder unavailable")
+        recs = self._tree(tmp_path)
+        for decode_size in [(32, 40), None]:
+            ds = video_dataset.FrameClipDataset(
+                recs, A.Compose([]), num_seq=2, seq_len=3, downsample=2,
+                decode_size=decode_size)
+            idx = np.arange(6).reshape(2, 3)
+            batched = ds._load_frames(recs[0], idx)
+            per_frame = np.stack([
+                video_dataset.load_frame(ds._frame_path(recs[0], i),
+                                         decode_size)
+                for i in range(6)])
+            np.testing.assert_array_equal(batched, per_frame)
+
+    def test_batch_path_is_taken(self, tmp_path, monkeypatch):
+        from dpc_tpu import native
+        if not native.available():
+            pytest.skip("native decoder unavailable")
+        recs = self._tree(tmp_path)
+        ds = video_dataset.FrameClipDataset(
+            recs, A.Compose([]), num_seq=2, seq_len=3, downsample=2,
+            decode_size=(32, 40))
+        monkeypatch.setattr(video_dataset, "load_frame",
+                            lambda *a, **k: pytest.fail(
+                                "per-frame fallback used"))
+        out = ds._load_frames(recs[0], np.arange(6).reshape(2, 3))
+        assert out.shape == (6, 32, 40, 3)
+
+    def test_corrupt_frame_falls_back(self, tmp_path):
+        from dpc_tpu import native
+        if not native.available():
+            pytest.skip("native decoder unavailable")
+        recs = self._tree(tmp_path)
+        # frame 3 corrupt: batch decode reports a failure -> fallback path
+        with open(os.path.join(recs[0].path, "image_00003.jpg"), "wb") as f:
+            f.write(b"not a jpeg")
+        ds = video_dataset.FrameClipDataset(
+            recs, A.Compose([]), num_seq=2, seq_len=3, downsample=2,
+            decode_size=(32, 40))
+        assert ds._load_frames_native_batch(
+            [ds._frame_path(recs[0], i) for i in range(6)]) is None
+
+
+class TestProcessLoader:
+    def test_process_mode_matches_thread_mode(self):
+        ds = SyntheticVideoDataset(num_videos=8, frame_size=32, num_seq=2,
+                                   seq_len=3, downsample=2, video_len=64,
+                                   return_label=True)
+        thread = ClipLoader(ds, batch_size=4, num_workers=2, seed=5)
+        proc = ClipLoader(ds, batch_size=4, num_workers=2, seed=5,
+                          worker_mode="process")
+        try:
+            for (tc, tl), (pc, pl) in zip(thread, proc):
+                np.testing.assert_array_equal(tc, pc)
+                np.testing.assert_array_equal(tl, pl)
+            # pool persists across epochs; determinism travels with tasks
+            thread.set_epoch(1)
+            proc.set_epoch(1)
+            for (tc, tl), (pc, pl) in zip(thread, proc):
+                np.testing.assert_array_equal(tc, pc)
+        finally:
+            proc.close()
