@@ -144,6 +144,7 @@ def make_eval_step(model_cfg: DPCConfig, train_cfg: TrainConfig, mesh):
     (reference ``validate``, ``dpc/main.py:249-282``)."""
     dtype = dtype_of(model_cfg.compute_dtype)
     n_data = mesh.shape[DATA_AXIS]
+    n_model = mesh.shape.get(MODEL_AXIS, 1)
     local_b = train_cfg.batch_size // n_data
     local_targets = jnp.asarray(nce.nce_targets(
         local_b, model_cfg.pred_step, model_cfg.sq))
@@ -155,6 +156,14 @@ def make_eval_step(model_cfg: DPCConfig, train_cfg: TrainConfig, mesh):
                                                  model_cfg.img_dim)
         score, pred, gt = dpc.apply_dpc(params, batch, cfg=model_cfg,
                                         train=False, dtype=dtype)
+        if train_cfg.negatives == "global" and n_model > 1:
+            # same candidate-sharded softmax the train step uses: each
+            # model-peer scores 1/m of the global pool instead of all of
+            # it (round-1 recomputed the full global score per peer)
+            loss, metrics = sharded_nce.sharded_nce_loss(
+                pred.astype(jnp.float32), gt.astype(jnp.float32),
+                data_axis=DATA_AXIS, model_axis=MODEL_AXIS)
+            return jax.lax.pmean({"loss": loss, **metrics}, DATA_AXIS)
         if train_cfg.negatives == "global" and n_data > 1:
             score, targets = _global_score_and_targets(
                 pred.astype(jnp.float32), gt.astype(jnp.float32),

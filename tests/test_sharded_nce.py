@@ -109,3 +109,25 @@ def test_full_train_step_on_2d_mesh():
     # order differences through the optimizer
     np.testing.assert_allclose(losses[1][0], losses[2][0], rtol=1e-5)
     np.testing.assert_allclose(losses[1], losses[2], rtol=5e-3)
+
+
+def test_eval_step_uses_sharded_nce_on_2d_mesh():
+    """make_eval_step must route through sharded_nce when n_model > 1 and
+    agree with the train-step loss on the same (4,2) mesh (train=False
+    both: compare against the unsharded eval step on a data-only mesh)."""
+    params = dpc.init_dpc(jax.random.PRNGKey(0), CFG)
+    x = _rand((B, CFG.num_seq, CFG.seq_len, CFG.img_dim, CFG.img_dim, 3), 7)
+    tcfg = TrainConfig(batch_size=B, lr=1e-3, wd=1e-5, negatives="global",
+                       donate=False)
+
+    vals = {}
+    for mp in (1, 2):
+        mesh = meshlib.make_mesh(4 * mp, model_parallel=mp)
+        eval_fn = pretrain_step.make_eval_step(CFG, tcfg, mesh)
+        xb = meshlib.shard_batch(mesh, x)
+        metrics = eval_fn(meshlib.replicate(mesh, params), xb,
+                          jax.random.PRNGKey(0))
+        vals[mp] = {k: float(v) for k, v in metrics.items()}
+    np.testing.assert_allclose(vals[1]["loss"], vals[2]["loss"], rtol=1e-5)
+    for k in ("top1", "top3", "top5"):
+        np.testing.assert_allclose(vals[1][k], vals[2][k], atol=1e-6)
