@@ -132,6 +132,8 @@ class TrainConfig:
     fused_nce: bool = False      # Pallas flash-NCE kernel (ops/nce_pallas.py)
     device_augment: bool = False  # crop/flip/gray/jitter inside the step
                                   # (expects uint8 pre-crop batches)
+    device_augment_recipe: str = "sized_crop"  # "sized_crop" (k400) |
+                                               # "crop_resize" (ucf/hmdb)
     cross_replica_bn: bool = False  # reference BN is per-replica (unsynced)
     remat: bool = False          # jax.checkpoint the backbone to save HBM
     donate: bool = True
@@ -158,6 +160,9 @@ class EvalConfig:
     # backbone+GRU at lr/10 for ft — the reference's *intent*
     # (eval/test.py:76-83; latent no-op there, see train/optim.py)
     backbone_lr_scale: float = 0.1
+    # dense test with 4-corner+centre crops folded into the window axis
+    # (the reference's dormant path, eval/dataset_3d_lc.py:98-107)
+    five_crop: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -161,6 +161,36 @@ class FiveCrop:
         return np.stack([_crop(clip, y, x, th, tw) for y, x in corners])
 
 
+class PadTo:
+    """Reflect-pad so the clip is at least (min_h, min_w) — a safety net
+    ahead of fixed-size crops for odd-aspect (portrait) videos."""
+
+    def __init__(self, min_h: int, min_w: int):
+        self.min_h, self.min_w = min_h, min_w
+
+    def __call__(self, clip, rng=None):
+        t, h, w, c = clip.shape
+        ph, pw = max(0, self.min_h - h), max(0, self.min_w - w)
+        if not (ph or pw):
+            return clip
+        return np.pad(clip, ((0, 0), (ph // 2, ph - ph // 2),
+                             (pw // 2, pw - pw // 2), (0, 0)),
+                      mode="reflect")
+
+
+class PerCrop:
+    """Apply an op to each crop of a multi-crop ``[K, T, H, W, C]`` clip
+    (ops downstream of :class:`FiveCrop` in a recipe)."""
+
+    def __init__(self, op):
+        self.op = op
+
+    def __call__(self, clip, rng=None):
+        if clip.ndim == 4:
+            return self.op(clip, rng)
+        return np.stack([self.op(c, rng) for c in clip])
+
+
 class RandomCropWithProb:
     def __init__(self, size, p: float = 0.8, consistent: bool = True):
         self.size = (size, size) if isinstance(size, (int, float)) else size
@@ -474,7 +504,18 @@ def pretrain_transform(dataset: str, img_dim: int) -> Compose:
     raise ValueError(f"no pretrain recipe for {dataset!r}")
 
 
-def finetune_transform(img_dim: int, mode: str = "train") -> Compose:
+def finetune_transform(img_dim: int, mode: str = "train",
+                       five_crop: bool = False) -> Compose:
+    if five_crop and mode == "test":
+        # the reference's dormant 5-crop test path
+        # (eval/dataset_3d_lc.py:98-107, eval/test.py:117-121): corners +
+        # centre at 224, each scaled to img_dim; crops ride the window
+        # axis and the softmax average covers them
+        return Compose([
+            FiveCrop(224),
+            PerCrop(Scale(size=(img_dim, img_dim))),
+            Normalize(),
+        ])
     if mode == "train":
         return Compose([
             RandomSizedCrop(size=224, consistent=True),

@@ -133,17 +133,41 @@ def normalize(clip: jax.Array) -> jax.Array:
     return (clip - IMAGENET_MEAN) / IMAGENET_STD
 
 
+def resize_fixed(clip: jax.Array, out_size: int,
+                 method: str = "nearest") -> jax.Array:
+    """Fixed spatial resize of ``[T, H, W, C]`` to ``out_size``².
+
+    NEAREST by default: the reference's Scale op is NEAREST
+    (``utils/augmentation.py:20``) and the interpolation choice visibly
+    changes the output noise statistics (bilinear low-passes)."""
+    t, h, w, c = clip.shape
+    return jax.image.resize(clip, (t, out_size, out_size, c), method)
+
+
 def augment_batch(key: jax.Array, clips: jax.Array, img_dim: int,
-                  gray_p: float = 0.5) -> jax.Array:
+                  gray_p: float = 0.5,
+                  recipe: str = "sized_crop") -> jax.Array:
     """Jit-free body of :func:`pretrain_augment` — callable from inside an
-    already-jitted train step (see ``TrainConfig.device_augment``)."""
+    already-jitted train step (see ``TrainConfig.device_augment``).
+
+    Recipes (reference ``dpc/main.py:115-133``):
+      * ``'sized_crop'`` — K400: random area/aspect crop + resize first
+        (host fed an aspect-preserving native-geometry window);
+      * ``'crop_resize'`` — UCF/HMDB: the host already took the
+        consistent random 224-of-240 crop (pure slicing); the device does
+        the resize to ``img_dim``, then flip.  Flip placement relative to
+        a uniform random crop is distribution-identical (PARITY.md).
+    """
     b, n, sl, h, w, c = clips.shape
     x = clips.astype(jnp.float32) / 255.0
     flat = x.reshape(b, n * sl, h, w, c)
 
     def per_sample(key, clip):
         kc, kf, kg, kj = jax.random.split(key, 4)
-        clip = random_resized_crop(kc, clip, img_dim)
+        if recipe == "sized_crop":
+            clip = random_resized_crop(kc, clip, img_dim)
+        else:
+            clip = resize_fixed(clip, img_dim)
         clip = random_hflip(kf, clip)
         clip = random_gray(kg, clip, p=gray_p, per_frame=True)
         clip = color_jitter(kj, clip, per_frame=True)
@@ -154,13 +178,14 @@ def augment_batch(key: jax.Array, clips: jax.Array, img_dim: int,
     return out.reshape(b, n, sl, img_dim, img_dim, c)
 
 
-@functools.partial(jax.jit, static_argnames=("img_dim", "gray_p"))
+@functools.partial(jax.jit, static_argnames=("img_dim", "gray_p", "recipe"))
 def pretrain_augment(key: jax.Array, clips: jax.Array, img_dim: int,
-                     gray_p: float = 0.5) -> jax.Array:
-    """Full k400-recipe augmentation on device, as a standalone jit.
+                     gray_p: float = 0.5,
+                     recipe: str = "sized_crop") -> jax.Array:
+    """Device-side pretrain augmentation as a standalone jit.
 
     clips: ``[B, N, SL, H, W, C]`` uint8 (decoded, pre-crop size).
     Returns ``[B, N, SL, img_dim, img_dim, C]`` float32 normalised.
     One crop/flip draw per sample (clip-consistent); gray/jitter per frame.
     """
-    return augment_batch(key, clips, img_dim, gray_p)
+    return augment_batch(key, clips, img_dim, gray_p, recipe)

@@ -86,7 +86,10 @@ class SyntheticVideoDataset:
             frames = self._render_frames(index, windows.reshape(-1))
             clip = self.transform(frames, rng)
             h, w, c = clip.shape[-3:]
-            clip = clip.reshape(nw, self.num_seq, self.seq_len, h, w, c)
+            # multi-crop transforms (FiveCrop) return [k, T, h, w, c]:
+            # crops ride the window axis, like FrameClipDataset
+            clip = clip.reshape(-1, self.num_seq, self.seq_len, h, w, c)
+            assert clip.shape[0] % nw == 0, (clip.shape, nw)
             return (clip, self._label(index)) if self.return_label else clip
 
         start = shapes.sample_clip_start(rng, self.video_len, self.num_seq,

@@ -37,8 +37,16 @@ def main(argv=None) -> None:
     from dpc_tpu.data.loader import ClipLoader
 
     if args.decode_only:
-        pre = int(round(args.img_dim * 1.25))
-        transform, decode_size = augment.Compose([]), (pre, pre)
+        # the --device_augment host profile: native decode + short-side
+        # scale + pure-slicing random window (no photometrics)
+        if args.dataset == "k400":
+            short, win = 150, (150, 200)
+        else:
+            short, win = 240, (224, 224)
+        transform = augment.Compose([
+            augment.Scale(short), augment.PadTo(*win),
+            augment.RandomCrop(win, consistent=True)])
+        decode_size = None
     else:
         transform = augment.pretrain_transform(
             "k400" if args.dataset == "synthetic" else args.dataset,

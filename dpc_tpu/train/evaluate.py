@@ -37,7 +37,7 @@ from dpc_tpu.models import lc
 from dpc_tpu.parallel import mesh as meshlib
 from dpc_tpu.train import finetune_step, optim
 from dpc_tpu.train.metrics import (AccuracyTable, ConfusionMeter,
-                                   MetricBundle, write_log)
+                                   MetricBundle, denormalize, write_log)
 from dpc_tpu.utils import torch_compat
 
 NUM_CLASSES = {"ucf101": 101, "hmdb51": 51, "synthetic": 8}
@@ -90,6 +90,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--steps_per_epoch", default=0, type=int)
     p.add_argument("--log_dir", default="log_eval")
     p.add_argument("--backbone_lr_scale", default=0.1, type=float)
+    p.add_argument("--five_crop", action="store_true",
+                   help="dense test with 4-corner+centre crops; crops "
+                        "ride the window axis of the softmax average "
+                        "(the reference's dormant path, "
+                        "eval/dataset_3d_lc.py:98-107)")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialise jax.distributed; each host feeds its "
+                        "shard of the global batch")
     return p
 
 
@@ -114,15 +122,18 @@ def config_from_args(args) -> ExperimentConfig:
                         train_what=args.train_what, lr=args.lr, wd=args.wd,
                         epochs=args.epochs, batch_size=args.batch_size,
                         lr_milestones=milestones,
-                        backbone_lr_scale=args.backbone_lr_scale),
+                        backbone_lr_scale=args.backbone_lr_scale,
+                        five_crop=args.five_crop),
     )
 
 
 def get_dataset(cfg: ExperimentConfig, mode: str, unit_test: bool = False):
     m, d = cfg.model, cfg.data
+    five = cfg.eval.five_crop and mode == "test"
     if d.dataset == "synthetic":
         if mode == "test":
             tf = augment.Compose([
+                augment.FiveCrop(m.img_dim) if five else
                 augment.RandomSizedCrop(size=m.img_dim, consistent=True,
                                         p=0.0),
                 augment.Normalize()])
@@ -139,7 +150,8 @@ def get_dataset(cfg: ExperimentConfig, mode: str, unit_test: bool = False):
             return_label=True, num_classes=NUM_CLASSES["synthetic"],
             seed=2 if mode == "val" else (3 if mode == "test" else 0))
     tf = augment.finetune_transform(
-        m.img_dim, mode if mode in ("train", "val") else "test")
+        m.img_dim, mode if mode in ("train", "val") else "test",
+        five_crop=five)
     return make_dataset(d.dataset, d.data_root, mode, tf,
                         num_seq=m.num_seq, seq_len=m.seq_len,
                         downsample=d.downsample, split=d.split,
@@ -148,47 +160,125 @@ def get_dataset(cfg: ExperimentConfig, mode: str, unit_test: bool = False):
 
 
 def run_test(cfg: ExperimentConfig, params, bn_state, exp_dir: str,
-             unit_test: bool = False) -> tuple[float, float]:
+             unit_test: bool = False, *, window_batch: int = 0
+             ) -> tuple[float, float]:
     """Dense evaluation: every video → overlapping windows → softmax
-    averaged over windows → top1/top5 + confusion matrix
-    (``eval/test.py:303-342``)."""
+    averaged over windows (and crops, when the transform is multi-crop) →
+    top1/top5 + confusion matrix (``eval/test.py:303-342``).
+
+    TPU-native execution: windows are pooled ACROSS videos into one fixed
+    ``[WB, ...]`` batch shape, sharded over the mesh's 'data' axis — one
+    compiled program, every device busy, host video decode prefetched on
+    a worker thread.  The reference evaluates one video per step
+    (batch_size=1 DataLoader, ``eval/test.py:381-387``).
+    """
+    import queue
+    import threading
+
     e = cfg.eval
     ds = get_dataset(cfg, "test", unit_test)
-    forward = finetune_step.make_test_forward(cfg.model, e)
+    mesh = meshlib.make_mesh(cfg.train.num_devices)
+    n_dev = mesh.shape[meshlib.DATA_AXIS]
+    wb = window_batch or 8 * n_dev
+    wb = -(-wb // n_dev) * n_dev
+    forward = finetune_step.make_test_forward_sharded(cfg.model, e, mesh)
     confusion = ConfusionMeter(e.num_classes)
     table = AccuracyTable()
     top1s, top5s, losses = [], [], []
-    rng = np.random.default_rng(0)
+
+    # host video loading overlaps device compute
+    q: queue.Queue = queue.Queue(maxsize=4)
+
+    def producer():
+        rng = np.random.default_rng(0)
+        try:
+            for i in range(len(ds)):
+                q.put((i, ds.sample(i, rng)))
+        except Exception as exc:  # pragma: no cover - surfaced below
+            q.put(exc)
+        finally:
+            q.put(None)
+
+    threading.Thread(target=producer, daemon=True).start()
+
+    buf: list[np.ndarray] = []     # window slices pending a forward
+    meta: list[tuple[int, int]] = []  # (video_idx, row count) per slice
+    chunks: dict[int, list[np.ndarray]] = {}
+    counts: dict[int, int] = {}
+    labels: dict[int, int] = {}
+    n_done = 0
+    n_windows = 0
     tic = time.time()
-    for i in range(len(ds)):
-        clip, label = ds.sample(i, rng)
-        # pad the window count up to a small bucket so XLA compiles a
-        # handful of shapes instead of one per distinct video length
-        # (SURVEY §7 hard-part 6: static-shape discipline)
-        nw = clip.shape[0]
-        bucket = max(4, 1 << (nw - 1).bit_length())
-        if bucket != nw:
-            clip = np.concatenate(
-                [clip, np.repeat(clip[-1:], bucket - nw, axis=0)])
-        logits = np.asarray(forward(params, bn_state,
-                                    jnp.asarray(clip)))[:nw]
-        probs = jax.nn.softmax(jnp.asarray(logits), axis=-1)
-        mean_probs = np.asarray(jnp.mean(probs, axis=0))
-        order = np.argsort(-mean_probs)
+    t_start = time.time()
+
+    def finalize(vid: int) -> None:
+        nonlocal n_done, tic
+        logits = np.concatenate(chunks.pop(vid), axis=0)  # [nw, classes]
+        label = labels.pop(vid)
+        z = logits - logits.max(axis=-1, keepdims=True)
+        probs = np.exp(z)
+        probs /= probs.sum(axis=-1, keepdims=True)
+        order = np.argsort(-probs.mean(axis=0))
         top1s.append(float(order[0] == label))
         top5s.append(float(label in order[:5]))
         mean_logits = logits.mean(axis=0)
-        z = mean_logits - mean_logits.max()
-        losses.append(float(np.log(np.exp(z).sum()) - z[label]))
+        zl = mean_logits - mean_logits.max()
+        losses.append(float(np.log(np.exp(zl).sum()) - zl[label]))
         confusion.update(np.asarray([order[0]]), np.asarray([label]))
         table.update(np.asarray([order[0]]), np.asarray([label]))
-        if i % 20 == 0:
-            print(f"[test] {i}/{len(ds)} acc so far "
+        n_done += 1
+        if n_done % 20 == 0:
+            print(f"[test] {n_done}/{len(ds)} acc so far "
                   f"{np.mean(top1s):.4f} ({time.time() - tic:.1f}s)")
             tic = time.time()
+
+    def flush():
+        nonlocal buf, meta, n_windows
+        if not meta:
+            return
+        rows = np.concatenate(buf, axis=0)
+        r = rows.shape[0]
+        n_windows += r
+        if r < wb:  # tail batch: pad with repeats, dropped below
+            rows = np.concatenate(
+                [rows, np.repeat(rows[-1:], wb - r, axis=0)])
+        logits = np.asarray(forward(params, bn_state,
+                                    jnp.asarray(rows)))[:r]
+        ofs = 0
+        for vid, cnt in meta:
+            chunks.setdefault(vid, []).append(logits[ofs:ofs + cnt])
+            ofs += cnt
+            if sum(a.shape[0] for a in chunks[vid]) == counts[vid]:
+                finalize(vid)
+        buf, meta = [], []
+
+    space = wb
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        if isinstance(item, Exception):
+            raise item
+        vid, (clip, label) = item
+        counts[vid], labels[vid] = clip.shape[0], int(label)
+        ofs = 0
+        while ofs < clip.shape[0]:
+            take = min(space, clip.shape[0] - ofs)
+            buf.append(clip[ofs:ofs + take])
+            meta.append((vid, take))
+            ofs += take
+            space -= take
+            if space == 0:
+                flush()
+                space = wb
+    flush()
+
+    dt = time.time() - t_start
     top1, top5 = float(np.mean(top1s)), float(np.mean(top5s))
     loss = float(np.mean(losses))
     print(f"[test] loss {loss:.4f}; top1 {top1:.4f}; top5 {top5:.4f}")
+    print(f"[test] {n_windows} windows / {len(ds)} videos in {dt:.1f}s = "
+          f"{n_windows / dt:.1f} windows/s on {n_dev} device(s) (WB={wb})")
     os.makedirs(exp_dir, exist_ok=True)
     confusion.plot_mat(os.path.join(exp_dir, "confusion_matrix.svg"))
     write_log(content=f"loss: {loss:.4f}; top1: {top1:.4f}; "
@@ -202,6 +292,8 @@ def main(argv=None) -> None:
     cfg = config_from_args(args)
     m, e, t = cfg.model, cfg.eval, cfg.train
 
+    shard_id, num_shards = (meshlib.init_multihost() if args.multihost
+                            else (0, 1))
     mesh = meshlib.make_mesh(t.num_devices)
     n_dev = mesh.shape["data"]
     if t.batch_size % n_dev:
@@ -302,16 +394,19 @@ def main(argv=None) -> None:
     except Exception as exc:  # pragma: no cover
         print(f"tensorboard disabled: {exc}")
 
+    per_host_batch = cfg.train.batch_size // num_shards
     train_loader = ClipLoader(get_dataset(cfg, "train", args.unit_test),
-                              cfg.train.batch_size,
+                              per_host_batch,
                               num_workers=cfg.data.num_workers,
                               worker_mode=cfg.data.worker_mode,
-                              seed=cfg.train.seed)
+                              seed=cfg.train.seed, shard_id=shard_id,
+                              num_shards=num_shards)
     val_loader = ClipLoader(get_dataset(cfg, "val", args.unit_test),
-                            cfg.train.batch_size,
+                            per_host_batch,
                             num_workers=cfg.data.num_workers,
                             worker_mode=cfg.data.worker_mode,
-                            seed=cfg.train.seed + 1)
+                            seed=cfg.train.seed + 1, shard_id=shard_id,
+                            num_shards=num_shards)
     print(f"train videos: {len(train_loader.dataset)}; "
           f"val videos: {len(val_loader.dataset)}")
 
@@ -320,6 +415,12 @@ def main(argv=None) -> None:
         val_loader.set_epoch(epoch)
         lr_scale = optim.multistep_restart_lr(
             epoch, 1.0, e.lr_milestones, e.lr_gamma, e.lr_repeat)
+        # denormalised input grid once per run (eval/test.py:232-238)
+        if writer_train is not None and epoch == start_epoch:
+            sample = next(iter(train_loader))[0]
+            grid = denormalize(sample.reshape(-1, *sample.shape[-3:])[:16])
+            writer_train.add_images("input_seq", grid, epoch,
+                                    dataformats="NHWC")
         ekey = jax.random.fold_in(jax.random.PRNGKey(cfg.train.seed), epoch)
         meters, vmeters = MetricBundle(), MetricBundle()
         for idx, (clips, labels) in enumerate(train_loader):

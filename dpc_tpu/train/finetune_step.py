@@ -122,3 +122,29 @@ def make_test_forward(model_cfg: DPCConfig, eval_cfg: EvalConfig):
         return logits[:, 0, :]
 
     return forward
+
+
+def make_test_forward_sharded(model_cfg: DPCConfig, eval_cfg: EvalConfig,
+                              mesh):
+    """Mesh-sharded dense-test forward: one fixed ``[WB, N, SL, H, W, C]``
+    window batch (windows pooled across videos) sharded over 'data'.
+
+    One compiled shape for the whole test set — the reference evaluates
+    one whole video per step on GPU0's DataParallel gather
+    (``eval/test.py:314-315``), recompiling nothing but idling every
+    other device whenever a video has few windows.
+    """
+    dtype = dtype_of(model_cfg.compute_dtype)
+
+    def device_fwd(params, bn_state, windows):
+        logits, _, _ = lc.apply_lc(
+            params, bn_state, windows, cfg=model_cfg,
+            num_classes=eval_cfg.num_classes, dropout=eval_cfg.dropout,
+            train=False, dtype=dtype)
+        return logits[:, 0, :]
+
+    sharded = jax.shard_map(
+        device_fwd, mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS)), out_specs=P(DATA_AXIS),
+        check_vma=False)
+    return jax.jit(sharded)

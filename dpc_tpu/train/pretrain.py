@@ -128,17 +128,44 @@ def config_from_args(args) -> ExperimentConfig:
                           negatives=args.negatives,
                           cross_replica_bn=args.cross_replica_bn,
                           device_augment=args.device_augment,
+                          device_augment_recipe=(
+                              "sized_crop" if args.dataset == "k400"
+                              else "crop_resize"),
                           remat=args.remat),
     )
+
+
+def device_augment_window(cfg: ExperimentConfig) -> tuple[int, int]:
+    """Host-side (h, w) window fed to the device augmenter — mirrors the
+    reference recipes' geometry (see get_dataset)."""
+    m, d = cfg.model, cfg.data
+    if d.dataset == "k400":
+        short = 256 if m.img_dim > 140 else 150
+        return short, int(round(short * 4 / 3))
+    if d.dataset == "synthetic":
+        short = max(m.img_dim, 130)
+        return (int(round(short * 224 / 240)),) * 2
+    return 224, 224
 
 
 def get_dataset(cfg: ExperimentConfig, mode: str, unit_test: bool = False):
     m, d = cfg.model, cfg.data
     if cfg.train.device_augment:
-        # host: decode + fixed-size resize only; augmentation runs on
-        # device inside the step (data/device_augment.py)
-        pre = int(round(m.img_dim * 1.25))
-        host_tf = augment.Compose([augment.Scale(size=(pre, pre))])
+        # host half of the split pipeline: decode + aspect-preserving
+        # geometry only (short-side scale, then a PURE-SLICING random
+        # window); all resampling and photometrics run on device
+        # (data/device_augment.py).  Window geometry mirrors the
+        # reference recipes: UCF/HMDB consistent 224-of-240 crop
+        # (dpc/main.py:116-124), K400 a native-geometry window that the
+        # device RandomSizedCrop draws from (dpc/main.py:126-133).
+        big = d.dataset == "k400" and m.img_dim > 140
+        win = device_augment_window(cfg)
+        short = (win[0] if d.dataset == "k400" else
+                 max(m.img_dim, 130) if d.dataset == "synthetic" else 240)
+        host_tf = augment.Compose([
+            augment.Scale(short),
+            augment.PadTo(*win),
+            augment.RandomCrop(win, consistent=True)])
         if d.dataset == "synthetic":
             return SyntheticVideoDataset(
                 transform=host_tf, num_videos=d.synthetic_num_videos,
@@ -147,14 +174,11 @@ def get_dataset(cfg: ExperimentConfig, mode: str, unit_test: bool = False):
                 num_seq=m.num_seq, seq_len=m.seq_len,
                 downsample=d.downsample, mode=mode,
                 seed=1 if mode == "val" else 0)
-        big = d.dataset == "k400" and m.img_dim > 140
-        return make_dataset(d.dataset, d.data_root, mode,
-                            augment.Compose([]),
+        return make_dataset(d.dataset, d.data_root, mode, host_tf,
                             num_seq=m.num_seq, seq_len=m.seq_len,
                             downsample=d.downsample, big=big,
                             unit_test=unit_test,
-                            val_subsample=d.val_subsample,
-                            decode_size=(pre, pre))
+                            val_subsample=d.val_subsample)
     if d.dataset == "synthetic":
         return SyntheticVideoDataset(
             transform=augment.Compose([
@@ -339,9 +363,9 @@ def main(argv=None) -> None:
     # time, so it is opt-in-or-fallback, never the default
     if not t.remat:
         if t.device_augment:
-            pre = int(round(m.img_dim * 1.25))
+            wh, ww = device_augment_window(cfg)
             bshape = jax.ShapeDtypeStruct(
-                (t.batch_size, m.num_seq, m.seq_len, pre, pre, 3),
+                (t.batch_size, m.num_seq, m.seq_len, wh, ww, 3),
                 jnp.uint8)
         else:
             bshape = jax.ShapeDtypeStruct(

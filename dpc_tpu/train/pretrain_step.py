@@ -119,8 +119,9 @@ def make_pretrain_step(model_cfg: DPCConfig, train_cfg: TrainConfig,
         key = jax.random.fold_in(key, state.step)
         if train_cfg.device_augment:
             key, akey = jax.random.split(key)
-            batch = device_augment.augment_batch(akey, batch,
-                                                 model_cfg.img_dim)
+            batch = device_augment.augment_batch(
+                akey, batch, model_cfg.img_dim,
+                recipe=train_cfg.device_augment_recipe)
         (loss, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, batch, key)
         grads = jax.lax.pmean(grads, grad_axes)
@@ -152,8 +153,9 @@ def make_eval_step(model_cfg: DPCConfig, train_cfg: TrainConfig, mesh):
     def device_step(params, batch, key):
         if train_cfg.device_augment:
             key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
-            batch = device_augment.augment_batch(key, batch,
-                                                 model_cfg.img_dim)
+            batch = device_augment.augment_batch(
+                key, batch, model_cfg.img_dim,
+                recipe=train_cfg.device_augment_recipe)
         score, pred, gt = dpc.apply_dpc(params, batch, cfg=model_cfg,
                                         train=False, dtype=dtype)
         if train_cfg.negatives == "global" and n_model > 1:

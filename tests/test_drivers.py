@@ -142,3 +142,56 @@ def test_finetune_resume(pretrain_dir, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "resumed epoch 1" in out
     assert "Finetune from ep 1 to ep 2 finished" in out
+
+
+def test_dense_test_pooled_matches_sequential(tmp_path):
+    """run_test pools windows across videos into mesh-sharded batches; its
+    top1/top5/loss must match the sequential per-video forward."""
+    import numpy as np
+
+    from dpc_tpu.models import lc
+    from dpc_tpu.train import evaluate, finetune_step
+    import jax
+
+    args = evaluate.build_parser().parse_args(
+        TINY + ["--test", "random", "--seed", "0"])
+    cfg = evaluate.config_from_args(args)
+    params, bn_state = lc.init_lc(jax.random.PRNGKey(666), cfg.model,
+                                  cfg.eval.num_classes)
+    loss, top1 = evaluate.run_test(cfg, params, bn_state,
+                                   str(tmp_path / "pooled"),
+                                   window_batch=16)
+
+    ds = evaluate.get_dataset(cfg, "test")
+    fwd = finetune_step.make_test_forward(cfg.model, cfg.eval)
+    rng = np.random.default_rng(0)
+    top1s, losses = [], []
+    for i in range(len(ds)):
+        clip, label = ds.sample(i, rng)
+        logits = np.asarray(fwd(params, bn_state, clip))
+        z = logits - logits.max(-1, keepdims=True)
+        probs = np.exp(z) / np.exp(z).sum(-1, keepdims=True)
+        top1s.append(float(np.argmax(probs.mean(0)) == label))
+        ml = logits.mean(0)
+        zl = ml - ml.max()
+        losses.append(float(np.log(np.exp(zl).sum()) - zl[label]))
+    np.testing.assert_allclose(top1, np.mean(top1s), atol=1e-9)
+    np.testing.assert_allclose(loss, np.mean(losses), rtol=1e-4)
+
+
+def test_five_crop_dense_test(tmp_path, capsys):
+    """--five_crop runs the dense test with 5x the window rows (crops fold
+    into the window axis) and still produces valid artifacts."""
+    from dpc_tpu.train import evaluate
+
+    log_dir = str(tmp_path / "fc")
+    evaluate.main(TINY + ["--log_dir", log_dir, "--test", "random",
+                          "--five_crop"])
+    out = capsys.readouterr().out
+    assert "[test] loss" in out
+    # synthetic test videos have a fixed window count; 5-crop multiplies
+    # the evaluated window rows by 5
+    import re
+    m = re.search(r"\[test\] (\d+) windows / (\d+) videos", out)
+    assert m, out
+    assert int(m.group(1)) % 5 == 0 and int(m.group(1)) > 0
