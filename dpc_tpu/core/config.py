@@ -129,7 +129,11 @@ class TrainConfig:
     # Parallelism (TPU-native; the reference's only strategy is DataParallel)
     num_devices: int = 0         # 0 = all visible devices
     negatives: str = "local"     # "local" (= reference per-GPU semantics) | "global"
-    fused_nce: bool = False      # Pallas flash-NCE kernel (ops/nce_pallas.py)
+    # NCE loss implementation: "auto" picks by projected score-matrix bytes
+    # (ops/nce.pick_nce_impl — XLA when the score fits HBM, flash Pallas
+    # kernel in the capacity regime); "xla" / "fused" force a path.
+    nce_impl: str = "auto"
+    fused_nce: bool = False      # deprecated alias for nce_impl="fused"
     device_augment: bool = False  # crop/flip/gray/jitter inside the step
                                   # (expects uint8 pre-crop batches)
     device_augment_recipe: str = "sized_crop"  # "sized_crop" (k400) |

@@ -119,6 +119,38 @@ def topk_accuracy(score: jax.Array, targets: jax.Array,
         for k in ks}
 
 
+def default_hbm_bytes() -> int:
+    """Per-device HBM capacity, from the runtime when it reports one
+    (TPU backends do), else the v5e default of 16 GiB."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        if stats and "bytes_limit" in stats:
+            return int(stats["bytes_limit"])
+    except Exception:
+        pass
+    return 16 * 2**30
+
+
+def pick_nce_impl(n_rows: int, n_cols: int,
+                  hbm_bytes: int | None = None,
+                  budget_frac: float = 0.125) -> str:
+    """Choose 'xla' or 'fused' for the NCE loss by projected score bytes.
+
+    Measured on v5e (docs/RESULTS.md "Flash-NCE kernel at scale"): the XLA
+    matmul+softmax path wins on time at every shape whose score matrix fits
+    comfortably in HBM (it materialises the score once forward and the
+    softmax once backward ⇒ ~2·R·C·4 bytes live next to the backbone
+    activations); the flash kernel keeps O(R) state and wins only in the
+    capacity regime.  The crossover is therefore a memory test, not a speed
+    test: take the fused path when the two score-sized buffers would claim
+    more than ``budget_frac`` of HBM (default 1/8 ⇒ 2 GiB on v5e).
+    """
+    if hbm_bytes is None:
+        hbm_bytes = default_hbm_bytes()
+    score_bytes = 2 * 4 * n_rows * n_cols
+    return "fused" if score_bytes > budget_frac * hbm_bytes else "xla"
+
+
 def mask_code_stats(score: jax.Array, mask: np.ndarray) -> dict:
     """Mean score per semantic code — the analysis view the reference's
     finer mask codes exist for (only code 1 is consumed in training)."""

@@ -68,6 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--img_dim", default=128, type=int)
     # TPU-native additions
     p.add_argument("--data_root", default="")
+    p.add_argument("--nce_impl", default="auto",
+                   choices=["auto", "xla", "fused"],
+                   help="NCE loss path: auto picks by projected score "
+                        "bytes (XLA when it fits HBM, flash Pallas kernel "
+                        "in the capacity regime)")
     p.add_argument("--negatives", default="local",
                    choices=["local", "global"])
     p.add_argument("--compute_dtype", default="bfloat16",
@@ -126,6 +131,7 @@ def config_from_args(args) -> ExperimentConfig:
                           reset_lr=args.reset_lr, seed=args.seed,
                           num_devices=args.num_devices,
                           negatives=args.negatives,
+                          nce_impl=args.nce_impl,
                           cross_replica_bn=args.cross_replica_bn,
                           device_augment=args.device_augment,
                           device_augment_recipe=(

@@ -43,6 +43,24 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
+def resolve_nce_impl(train_cfg: TrainConfig, model_cfg: DPCConfig,
+                     n_data: int) -> str:
+    """Resolve the NCE implementation for this step's static shapes.
+
+    'auto' (the default) picks by projected score-matrix bytes
+    (``ops.nce.pick_nce_impl``): the XLA matmul+softmax path whenever the
+    score fits HBM, the flash Pallas kernel in the capacity regime.  The
+    deprecated ``fused_nce`` bool forces 'fused'.
+    """
+    impl = "fused" if train_cfg.fused_nce else train_cfg.nce_impl
+    if impl != "auto":
+        return impl
+    rows = (train_cfg.batch_size // n_data) * model_cfg.pred_step * model_cfg.sq
+    cols_b = (train_cfg.batch_size if train_cfg.negatives == "global"
+              else train_cfg.batch_size // n_data)
+    return nce.pick_nce_impl(rows, cols_b * model_cfg.pred_step * model_cfg.sq)
+
+
 def _global_score_and_targets(pred: jax.Array, gt: jax.Array,
                               cfg: DPCConfig, axis_name: str):
     """Score local predictions against the all-gathered global GT pool."""
@@ -77,6 +95,7 @@ def make_pretrain_step(model_cfg: DPCConfig, train_cfg: TrainConfig,
         local_b, model_cfg.pred_step, model_cfg.sq))
     bn_axis = DATA_AXIS if train_cfg.cross_replica_bn else None
     grad_axes = (DATA_AXIS, MODEL_AXIS) if n_model > 1 else DATA_AXIS
+    use_fused = resolve_nce_impl(train_cfg, model_cfg, n_data) == "fused"
 
     def fwd(params, batch, key):
         return dpc.apply_dpc(params, batch, cfg=model_cfg, train=True,
@@ -96,7 +115,7 @@ def make_pretrain_step(model_cfg: DPCConfig, train_cfg: TrainConfig,
                 pred.astype(jnp.float32), gt.astype(jnp.float32),
                 data_axis=DATA_AXIS, model_axis=MODEL_AXIS)
         if train_cfg.negatives == "global" and n_data > 1:
-            if train_cfg.fused_nce:
+            if use_fused:
                 gt_all = jax.lax.all_gather(gt.astype(jnp.float32),
                                             DATA_AXIS, axis=0, tiled=True)
                 rpd = local_targets.shape[0]
@@ -108,7 +127,7 @@ def make_pretrain_step(model_cfg: DPCConfig, train_cfg: TrainConfig,
                 pred.astype(jnp.float32), gt.astype(jnp.float32),
                 model_cfg, DATA_AXIS)
             return nce.nce_loss(score, targets)
-        if train_cfg.fused_nce:
+        if use_fused:
             return nce_pallas.fused_nce_loss(pred.astype(jnp.float32),
                                              gt.astype(jnp.float32),
                                              local_targets)
