@@ -199,6 +199,12 @@ def maxpool3d(x: jax.Array, kernel: tuple[int, int, int],
     plain reverse-mode rule that composes with ``shard_map`` (reduce_window
     max-grad does not linearise under shard_map as of jax 0.9).  XLA fuses
     the ``prod(kernel)`` maximum ops into one pass.
+
+    NOTE: a separable per-axis decomposition was tried and REVERTED —
+    measured ~1.8× SLOWER fwd+bwd on the batch-64 stem pool (55 vs 31 ms
+    fwd, 155 vs 85 ms fwd+bwd): XLA fuses the joint 9-way max into a single
+    pass over the padded input, while the separable form materialises the
+    intermediate pass in HBM.
     """
     neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) \
         else jnp.iinfo(x.dtype).min
@@ -221,6 +227,129 @@ def maxpool3d(x: jax.Array, kernel: tuple[int, int, int],
                 result = window if result is None \
                     else jnp.maximum(result, window)
     return result
+
+
+def _stem_pool(z: jax.Array) -> jax.Array:
+    return maxpool3d(jax.nn.relu(z), (1, 3, 3), (1, 2, 2), (0, 1, 1))
+
+
+def _stem_pool_rw(z: jax.Array) -> jax.Array:
+    """Same pool via ``lax.reduce_window`` — XLA's native window reduction
+    reads the input once and was measured 4.8× faster forward than the
+    fused slice-chain (5.1 vs 24.2 ms on the batch-64 stem activation).
+    Only usable where its gradient is never requested (reduce_window
+    max-grad does not linearise under shard_map) — i.e. as the primal of
+    the custom-VJP below.
+    """
+    return jax.lax.reduce_window(
+        jax.nn.relu(z), -jnp.inf, jax.lax.max,
+        (1, 1, 3, 3, 1), (1, 1, 2, 2, 1),
+        ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
+
+
+@jax.custom_vjp
+def _relu_maxpool_eq(z: jax.Array) -> jax.Array:
+    return _stem_pool_rw(z)
+
+
+def _rmp_fwd(z):
+    out = _stem_pool_rw(z)
+    return out, (z, out)
+
+
+def _upsample2(x: jax.Array) -> jax.Array:
+    """Nearest ×2 over (H, W): up(x)[i, j] = x[i//2, j//2]."""
+    n, t, ho, wo, c = x.shape
+    x = jnp.broadcast_to(x[:, :, :, None, :, None, :],
+                         (n, t, ho, 2, wo, 2, c))
+    return x.reshape(n, t, 2 * ho, 2 * wo, c)
+
+
+def _shift1(x: jax.Array, axis: int, fill) -> jax.Array:
+    """x[..., i, ...] ← x[..., i+1, ...] with ``fill`` at the end."""
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (0, 1)
+    xp = jnp.pad(x, pads, constant_values=fill)
+    idx = [slice(None)] * x.ndim
+    idx[axis] = slice(1, x.shape[axis] + 1)
+    return xp[tuple(idx)]
+
+
+def _rmp_bwd(res, g):
+    """Equality-routed max-pool gradient — one fused elementwise pass.
+
+    XLA's autodiff of the 9-way max chain saves the 8 intermediate maxima
+    and replays the select chain — measured 47 ms backward on the batch-64
+    stem activation (docs/RESULTS.md).  This routes ``g`` by VALUE: input
+    (i, j) receives g[q, r] iff z[i, j] > 0 equals the pooled output of
+    window (q, r).  Window geometry (k=3, s=2, p=1) gives each input at
+    most 4 candidate windows, rows {i//2, (i+1)//2} × cols {j//2, (j+1)//2}
+    — expressed as 4 broadcast-upsampled variants of (out, g), with a
+    parity mask killing the duplicate second candidate on even indices.
+    Everything is elementwise/broadcast (no strided slices, no
+    interleaves), so XLA fuses the whole gradient into one pass over z.
+
+    Tie semantics: a window's gradient goes to EVERY in-window position
+    equal to the max (the jnp chain splits fractionally, torch picks one);
+    exact ties occur with probability ~0 for continuous activations
+    (documented in PARITY.md).
+    """
+    z, out = res
+    neg = jnp.asarray(-jnp.inf, out.dtype)
+    zero = jnp.asarray(0, g.dtype)
+    o_aa = _upsample2(out)
+    g_aa = _upsample2(g)
+    o_ba = _shift1(o_aa, 2, neg)      # row candidate (i+1)//2
+    g_ba = _shift1(g_aa, 2, zero)
+    odd_h = (jax.lax.broadcasted_iota(jnp.int32, (z.shape[2], 1, 1), 0)
+             % 2) == 1
+    odd_w = (jax.lax.broadcasted_iota(jnp.int32, (z.shape[3], 1), 0)
+             % 2) == 1
+
+    variants = (
+        (o_aa, g_aa, None),
+        (o_ba, g_ba, odd_h),
+        (_shift1(o_aa, 3, neg), _shift1(g_aa, 3, zero), odd_w),
+        (_shift1(o_ba, 3, neg), _shift1(g_ba, 3, zero), odd_h & odd_w),
+    )
+    dz = None
+    for o_v, g_v, mask in variants:
+        hit = (z == o_v) & (z > 0)
+        if mask is not None:
+            hit = hit & mask
+        term = g_v * hit.astype(g_v.dtype)
+        dz = term if dz is None else dz + term
+    return (dz,)
+
+
+_relu_maxpool_eq.defvjp(_rmp_fwd, _rmp_bwd)
+
+
+def relu_maxpool_stem(x: jax.Array, impl: str = "auto") -> jax.Array:
+    """``maxpool3d(relu(x), (1,3,3), (1,2,2), (0,1,1))`` — the stem's pool
+    (reference ``backbone/resnet_2d3d.py:214``).
+
+    ``impl``:
+      * "eqroute" (auto-default on TPU for even H, W) — XLA forward, but a
+        custom VJP that routes gradients by value equality instead of
+        XLA's saved 8-max select chain (see ``_rmp_bwd``);
+      * "pallas" — fully fused single-read Pallas kernel with argmax
+        routing (``ops.maxpool_pallas.maxpool_relu_3x3s2``). Verified
+        bit-exact on hardware but measured SLOWER than XLA at the stem
+        shape (Mosaic relayouts dominate); kept as the pattern for shapes
+        XLA handles worse;
+      * "xla" (auto-default elsewhere) — the plain slice-chain form.
+    """
+    h, w = x.shape[2], x.shape[3]
+    if impl == "auto":
+        impl = ("eqroute" if jax.default_backend() == "tpu"
+                and h % 2 == 0 and w % 2 == 0 else "xla")
+    if impl == "eqroute":
+        return _relu_maxpool_eq(x)
+    if impl == "pallas":
+        from dpc_tpu.ops import maxpool_pallas
+        return maxpool_pallas.maxpool_relu_3x3s2(x)
+    return _stem_pool(x)
 
 
 def init_dense(key: jax.Array, in_ch: int, out_ch: int,

@@ -224,8 +224,7 @@ def apply_resnet2d3d(params: Params, state: Optional[Params], x: jax.Array, *,
                         train=train, axis_name=axis_name)
     if track:
         new_state["stem"] = {"bn": ns}
-    h = jax.nn.relu(h)
-    h = L.maxpool3d(h, (1, 3, 3), (1, 2, 2), (0, 1, 1))
+    h = L.relu_maxpool_stem(h)
 
     for si, stage in enumerate(specs):
         name = f"layer{si + 1}"

@@ -1,0 +1,113 @@
+"""Fused ReLU+maxpool Pallas kernel vs the slice-chain reference form.
+
+The kernel replaces ``maxpool3d(relu(x))`` in the backbone stem on TPU
+(``models/layers.relu_maxpool_stem``); these tests pin value and gradient
+equality in interpret mode.  Random float inputs have no exact in-window
+ties, so the argmax-routed backward must match jnp's max-chain gradient
+exactly.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dpc_tpu.models import layers as L
+from dpc_tpu.ops import maxpool_pallas
+
+
+def _ref(x):
+    return L.maxpool3d(jax.nn.relu(x), (1, 3, 3), (1, 2, 2), (0, 1, 1))
+
+
+def _rand(shape, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.normal(size=shape).astype(np.float32))
+
+
+def test_forward_matches_reference():
+    x = _rand((2, 3, 8, 8, 16))
+    np.testing.assert_array_equal(
+        np.asarray(maxpool_pallas.maxpool_relu_3x3s2(x)),
+        np.asarray(_ref(x)))
+
+
+def test_forward_nonsquare_and_blockpad():
+    # N·T = 5 forces grid padding when the block covers multiple rows
+    x = _rand((5, 1, 4, 12, 8), seed=1)
+    np.testing.assert_array_equal(
+        np.asarray(maxpool_pallas.maxpool_relu_3x3s2(x)),
+        np.asarray(_ref(x)))
+
+
+def test_gradient_matches_reference():
+    x = _rand((2, 2, 8, 8, 8), seed=2)
+    g_ref = jax.grad(lambda x: jnp.sum(jnp.square(_ref(x))))(x)
+    g_ker = jax.grad(lambda x: jnp.sum(jnp.square(
+        maxpool_pallas.maxpool_relu_3x3s2(x))))(x)
+    np.testing.assert_allclose(np.asarray(g_ker), np.asarray(g_ref),
+                               rtol=1e-6, atol=0)
+
+
+def test_gradient_relu_gate():
+    # all-negative windows: output 0, gradient must be exactly 0
+    x = -jnp.abs(_rand((1, 1, 4, 4, 8), seed=3)) - 0.1
+    out = maxpool_pallas.maxpool_relu_3x3s2(x)
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
+    g = jax.grad(lambda x: jnp.sum(maxpool_pallas.maxpool_relu_3x3s2(x)))(x)
+    np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+
+def test_dispatch_helper_fallback_is_reference():
+    x = _rand((2, 2, 6, 6, 4), seed=4)
+    np.testing.assert_array_equal(
+        np.asarray(L.relu_maxpool_stem(x, impl="xla")),
+        np.asarray(_ref(x)))
+    np.testing.assert_array_equal(
+        np.asarray(L.relu_maxpool_stem(x, impl="pallas")),
+        np.asarray(_ref(x)))
+
+
+def test_eqroute_forward_matches_reference():
+    x = _rand((3, 2, 8, 12, 8), seed=6)
+    np.testing.assert_array_equal(
+        np.asarray(L.relu_maxpool_stem(x, impl="eqroute")),
+        np.asarray(_ref(x)))
+
+
+def test_eqroute_gradient_matches_reference():
+    # no in-window ties in random f32 data ⇒ equality routing must agree
+    # exactly with the max-chain gradient
+    x = _rand((2, 2, 8, 8, 8), seed=7)
+    g_ref = jax.grad(lambda x: jnp.sum(jnp.square(_ref(x))))(x)
+    g_eq = jax.grad(lambda x: jnp.sum(jnp.square(
+        L.relu_maxpool_stem(x, impl="eqroute"))))(x)
+    np.testing.assert_allclose(np.asarray(g_eq), np.asarray(g_ref),
+                               rtol=1e-6, atol=0)
+
+
+def test_eqroute_gradient_relu_gate():
+    x = -jnp.abs(_rand((1, 1, 4, 4, 8), seed=8)) - 0.1
+    g = jax.grad(lambda x: jnp.sum(
+        L.relu_maxpool_stem(x, impl="eqroute")))(x)
+    np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+
+def test_eqroute_boundary_windows():
+    # single window row/col exercises the shifted -inf/0 fills
+    x = _rand((1, 1, 2, 2, 4), seed=9)
+    np.testing.assert_array_equal(
+        np.asarray(L.relu_maxpool_stem(x, impl="eqroute")),
+        np.asarray(_ref(x)))
+    g_ref = jax.grad(lambda x: jnp.sum(jnp.square(_ref(x))))(x)
+    g_eq = jax.grad(lambda x: jnp.sum(jnp.square(
+        L.relu_maxpool_stem(x, impl="eqroute"))))(x)
+    np.testing.assert_allclose(np.asarray(g_eq), np.asarray(g_ref),
+                               rtol=1e-6, atol=0)
+
+
+def test_bfloat16_path():
+    x = _rand((2, 1, 8, 8, 8), seed=5).astype(jnp.bfloat16)
+    np.testing.assert_array_equal(
+        np.asarray(maxpool_pallas.maxpool_relu_3x3s2(x).astype(jnp.float32)),
+        np.asarray(_ref(x).astype(jnp.float32)))
