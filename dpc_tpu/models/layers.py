@@ -325,14 +325,54 @@ def _rmp_bwd(res, g):
 _relu_maxpool_eq.defvjp(_rmp_fwd, _rmp_bwd)
 
 
+@jax.custom_vjp
+def _relu_maxpool_sas(z: jax.Array) -> jax.Array:
+    return _stem_pool_rw(z)
+
+
+def _rmp_sas_fwd(z):
+    return _stem_pool_rw(z), z
+
+
+def _rmp_sas_bwd(z, g):
+    """Max-pool gradient via XLA's native SelectAndScatter primitive.
+
+    ``select_and_scatter_add`` routes each window's cotangent to the FIRST
+    in-window position attaining the max (``ge`` select) — exactly torch's
+    argmax-routed maxpool backward, so ties behave like the reference
+    (single winner), unlike ``_rmp_bwd``'s split-to-all-equal routing.
+    Measured 1.6× faster than the equality route on the batch-64 stem
+    activation (16.3 vs 26.3 ms) and with far lower peak memory: the
+    equality route materialises four ×2-upsampled variants of (out, g)
+    (~4 × input bytes of HLO temps — the largest allocations in the
+    batch-128 OOM dump), while SelectAndScatter keeps everything windowed.
+    Only the *linearisation* of reduce_window-max lacks a shard_map rule;
+    binding the scatter primitive directly inside a custom VJP composes
+    fine (covered by tests).
+    """
+    from jax._src.lax import windowed_reductions as _wr
+    a = jax.nn.relu(z)
+    dz = _wr._select_and_scatter_add(
+        g, a, jax.lax.ge_p, (1, 1, 3, 3, 1), (1, 1, 2, 2, 1),
+        ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
+    return (jnp.where(z > 0, dz, jnp.zeros((), dz.dtype)),)
+
+
+_relu_maxpool_sas.defvjp(_rmp_sas_fwd, _rmp_sas_bwd)
+
+
 def relu_maxpool_stem(x: jax.Array, impl: str = "auto") -> jax.Array:
     """``maxpool3d(relu(x), (1,3,3), (1,2,2), (0,1,1))`` — the stem's pool
     (reference ``backbone/resnet_2d3d.py:214``).
 
     ``impl``:
-      * "eqroute" (auto-default on TPU for even H, W) — XLA forward, but a
-        custom VJP that routes gradients by value equality instead of
-        XLA's saved 8-max select chain (see ``_rmp_bwd``);
+      * "sas" (auto-default on TPU) — XLA ``reduce_window`` forward plus a
+        custom VJP binding XLA's native SelectAndScatter for the backward:
+        torch-exact first-max tie routing, fastest measured, lowest
+        memory (see ``_rmp_sas_bwd``);
+      * "eqroute" (even H, W only) — custom VJP that routes gradients by
+        value equality against the pooled output (see ``_rmp_bwd``);
+        superseded by "sas" but kept as a pure-jnp fallback;
       * "pallas" — fully fused single-read Pallas kernel with argmax
         routing (``ops.maxpool_pallas.maxpool_relu_3x3s2``). Verified
         bit-exact on hardware but measured SLOWER than XLA at the stem
@@ -340,10 +380,10 @@ def relu_maxpool_stem(x: jax.Array, impl: str = "auto") -> jax.Array:
         XLA handles worse;
       * "xla" (auto-default elsewhere) — the plain slice-chain form.
     """
-    h, w = x.shape[2], x.shape[3]
     if impl == "auto":
-        impl = ("eqroute" if jax.default_backend() == "tpu"
-                and h % 2 == 0 and w % 2 == 0 else "xla")
+        impl = "sas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "sas":
+        return _relu_maxpool_sas(x)
     if impl == "eqroute":
         return _relu_maxpool_eq(x)
     if impl == "pallas":

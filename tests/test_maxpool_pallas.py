@@ -111,3 +111,61 @@ def test_bfloat16_path():
     np.testing.assert_array_equal(
         np.asarray(maxpool_pallas.maxpool_relu_3x3s2(x).astype(jnp.float32)),
         np.asarray(_ref(x).astype(jnp.float32)))
+
+
+def test_sas_forward_matches_reference():
+    # odd H/W too — "sas" has no even-size restriction
+    for shape, seed in (((3, 2, 8, 12, 8), 10), ((2, 1, 7, 9, 4), 11)):
+        x = _rand(shape, seed=seed)
+        np.testing.assert_array_equal(
+            np.asarray(L.relu_maxpool_stem(x, impl="sas")),
+            np.asarray(_ref(x)))
+
+
+def test_sas_gradient_matches_reference():
+    # random f32 has no in-window ties ⇒ first-max routing == max-chain grad
+    x = _rand((2, 2, 8, 8, 8), seed=12)
+    g_ref = jax.grad(lambda x: jnp.sum(jnp.square(_ref(x))))(x)
+    g_sas = jax.grad(lambda x: jnp.sum(jnp.square(
+        L.relu_maxpool_stem(x, impl="sas"))))(x)
+    np.testing.assert_allclose(np.asarray(g_sas), np.asarray(g_ref),
+                               rtol=1e-6, atol=0)
+
+
+def test_sas_gradient_relu_gate():
+    x = -jnp.abs(_rand((1, 1, 4, 4, 8), seed=13)) - 0.1
+    g = jax.grad(lambda x: jnp.sum(L.relu_maxpool_stem(x, impl="sas")))(x)
+    np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+
+def test_sas_tie_routing_is_single_winner():
+    # constant-positive input: every window ties everywhere.  torch routes
+    # each window's gradient to exactly ONE position, so the total incoming
+    # gradient mass must be preserved (eqroute would multiply it).
+    x = jnp.ones((1, 1, 8, 8, 1), jnp.float32)
+    out = L.relu_maxpool_stem(x, impl="sas")
+    g = jax.grad(lambda x: jnp.sum(
+        L.relu_maxpool_stem(x, impl="sas")))(x)
+    assert float(jnp.sum(g)) == out.size  # one unit of grad per window
+
+
+def test_sas_composes_with_shard_map():
+    # the whole reason the custom VJP exists: reduce_window max-grad does
+    # not linearise under shard_map; the scatter primitive must.
+    from functools import partial
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    devs = np.array(jax.devices("cpu")[:2])
+    mesh = Mesh(devs, ("data",))
+    x = _rand((4, 1, 8, 8, 4), seed=14)
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh, in_specs=P("data"), out_specs=P())
+    def loss(x):
+        return jax.lax.psum(
+            jnp.sum(jnp.square(L.relu_maxpool_stem(x, impl="sas"))), "data")
+
+    g = jax.grad(loss)(x)
+    g_ref = jax.grad(lambda x: jnp.sum(jnp.square(_ref(x))))(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-6, atol=0)
