@@ -361,6 +361,81 @@ def _rmp_sas_bwd(z, g):
 _relu_maxpool_sas.defvjp(_rmp_sas_fwd, _rmp_sas_bwd)
 
 
+@jax.custom_vjp
+def _maxpool_sas_raw(z: jax.Array) -> jax.Array:
+    """3×3/s2/p1 max-pool over (H, W) of NDHWC — no ReLU — with the
+    SelectAndScatter backward (first-max tie routing).  Primal of the
+    fused stem below; reduce_window's own max-grad has no shard_map rule.
+    """
+    return jax.lax.reduce_window(
+        z, -jnp.inf, jax.lax.max,
+        (1, 1, 3, 3, 1), (1, 1, 2, 2, 1),
+        ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
+
+
+def _mps_fwd(z):
+    return _maxpool_sas_raw(z), z
+
+
+def _mps_bwd(z, g):
+    from jax._src.lax import windowed_reductions as _wr
+    dz = _wr._select_and_scatter_add(
+        g, z, jax.lax.ge_p, (1, 1, 3, 3, 1), (1, 1, 2, 2, 1),
+        ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
+    return (dz,)
+
+
+_maxpool_sas_raw.defvjp(_mps_fwd, _mps_bwd)
+
+
+def fused_stem(conv_p: Params, bn_p: Params, x: jax.Array, *,
+               stride: tuple[int, int, int] = (1, 2, 2),
+               padding: tuple[int, int, int] = (0, 3, 3),
+               dtype=None, eps: float = 1e-5,
+               axis_name: Optional[str] = None) -> jax.Array:
+    """conv → BN(batch stats) → ReLU → 3×3/s2 max-pool with the normalize
+    deferred to POOLED resolution — an exact reformulation that removes
+    the full-resolution normalize pass (fwd) and ReLU gate (bwd), the
+    stem's two remaining whole-activation traversals.
+
+    Math: with per-channel a = γ·rsqrt(var+ε), b = β − mean·a, the stem is
+    ``maxpool(relu(a·x + b))``.  Fold s = sign(γ) into the conv weights so
+    the conv emits x' = s·x; then a·x + b = |a|·x' + b is per-channel
+    MONOTONE in x', and since relu is monotone,
+    ``maxpool(relu(|a|·x' + b)) = relu(|a|·maxpool(x') + b)``.
+    The stats are recoverable from x' alone: var(x') = var(x), and
+    mean·a = (s·mean(x'))·(γ·inv) = mean(x')·|γ|·inv, so b never needs s.
+    γ = 0 degenerates safely (a = 0 ⇒ output relu(β) either way).
+
+    Only valid for the ``track_running_stats=False`` BN the DPC pretrain
+    backbone uses (``dpc/model_3d.py:28``) — there is no EMA state to
+    update, and both train and eval normalise by batch stats.  The
+    running-stats path keeps the unfused form.
+
+    Value parity with the unfused form is exact up to f32/bf16 rounding of
+    the reordered affine (asserted in tests/test_maxpool_pallas.py).
+    """
+    gamma = bn_p["scale"]
+    sgn = jnp.sign(gamma)
+    wp = {"w": conv_p["w"] * sgn}
+    if "b" in conv_p:
+        wp["b"] = conv_p["b"] * sgn
+    xs = conv3d(wp, x, stride, padding, dtype)          # x' = s·x
+    xf = xs.astype(jnp.promote_types(xs.dtype, jnp.float32))
+    reduce_axes = tuple(range(xf.ndim - 1))
+    mean_p = jnp.mean(xf, axis=reduce_axes)
+    if axis_name is not None:
+        mean_p = jax.lax.pmean(mean_p, axis_name)
+    var = jnp.mean(jnp.square(xf - mean_p), axis=reduce_axes)
+    if axis_name is not None:
+        var = jax.lax.pmean(var, axis_name)
+    pooled = _maxpool_sas_raw(xs)
+    a_abs = jnp.abs(gamma) * jax.lax.rsqrt(var + eps)
+    b = bn_p["bias"] - mean_p * a_abs
+    y = jax.nn.relu(pooled.astype(jnp.float32) * a_abs + b)
+    return y.astype(xs.dtype)
+
+
 def relu_maxpool_stem(x: jax.Array, impl: str = "auto") -> jax.Array:
     """``maxpool3d(relu(x), (1,3,3), (1,2,2), (0,1,1))`` — the stem's pool
     (reference ``backbone/resnet_2d3d.py:214``).

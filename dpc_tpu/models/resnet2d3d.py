@@ -207,24 +207,39 @@ def _apply_block(p: Params, s: Optional[Params], spec: dict, x: jax.Array, *,
 
 def apply_resnet2d3d(params: Params, state: Optional[Params], x: jax.Array, *,
                      network: str = "resnet18", train: bool = True,
-                     dtype=None, axis_name: Optional[str] = None
+                     dtype=None, axis_name: Optional[str] = None,
+                     stem_impl: str = "auto"
                      ) -> tuple[jax.Array, Optional[Params]]:
     """Forward pass.  x: NDHWC ``[B, T, H, W, 3]`` → ``[B, T/4, H/32, W/32, D]``.
 
     ``state``/returned state are the BN running stats (None when the net was
     built with ``track_running_stats=False``).
+
+    ``stem_impl``: "fused" applies conv→BN→ReLU→pool with the normalize
+    deferred to pooled resolution (``layers.fused_stem`` — exact
+    reformulation, batch-stats BN only); "unfused" keeps the literal op
+    order; "auto" picks "fused" on TPU when there is no running-stats
+    state to maintain.
     """
     specs = _block_specs(network)
     track = state is not None
     new_state: Params = {}
 
-    h = L.conv3d(params["stem"]["conv"], x, (1, 2, 2), (0, 3, 3), dtype)
-    h, ns = L.batchnorm(params["stem"]["bn"],
-                        state["stem"]["bn"] if track else None, h,
-                        train=train, axis_name=axis_name)
-    if track:
-        new_state["stem"] = {"bn": ns}
-    h = L.relu_maxpool_stem(h)
+    if stem_impl == "auto":
+        stem_impl = ("fused" if not track
+                     and jax.default_backend() == "tpu" else "unfused")
+    if stem_impl == "fused":
+        assert not track, "fused stem requires track_running_stats=False"
+        h = L.fused_stem(params["stem"]["conv"], params["stem"]["bn"], x,
+                         dtype=dtype, axis_name=axis_name)
+    else:
+        h = L.conv3d(params["stem"]["conv"], x, (1, 2, 2), (0, 3, 3), dtype)
+        h, ns = L.batchnorm(params["stem"]["bn"],
+                            state["stem"]["bn"] if track else None, h,
+                            train=train, axis_name=axis_name)
+        if track:
+            new_state["stem"] = {"bn": ns}
+        h = L.relu_maxpool_stem(h)
 
     for si, stage in enumerate(specs):
         name = f"layer{si + 1}"

@@ -169,3 +169,75 @@ def test_sas_composes_with_shard_map():
     g_ref = jax.grad(lambda x: jnp.sum(jnp.square(_ref(x))))(x)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                rtol=1e-6, atol=0)
+
+
+class TestFusedStem:
+    """layers.fused_stem == conv → BN(batch) → ReLU → maxpool, exactly."""
+
+    def _mk(self, seed, cin=3, cout=8, negate_some=True):
+        rng = np.random.default_rng(seed)
+        conv_p = {"w": jnp.asarray(
+            rng.normal(size=(1, 7, 7, cin, cout)).astype(np.float32) * 0.1)}
+        gamma = rng.uniform(0.5, 1.5, cout).astype(np.float32)
+        if negate_some:
+            gamma[::3] *= -1.0          # negative BN scales must stay exact
+            gamma[1] = 0.0              # and the degenerate γ=0 channel
+        bn_p = {"scale": jnp.asarray(gamma),
+                "bias": jnp.asarray(rng.normal(size=cout).astype(np.float32))}
+        x = jnp.asarray(rng.normal(size=(2, 3, 16, 16, cin))
+                        .astype(np.float32))
+        return conv_p, bn_p, x
+
+    @staticmethod
+    def _unfused(conv_p, bn_p, x):
+        h = L.conv3d(conv_p, x, (1, 2, 2), (0, 3, 3))
+        h, _ = L.batchnorm(bn_p, None, h, train=True)
+        return L.maxpool3d(jax.nn.relu(h), (1, 3, 3), (1, 2, 2), (0, 1, 1))
+
+    def test_values_match(self):
+        conv_p, bn_p, x = self._mk(20)
+        got = L.fused_stem(conv_p, bn_p, x)
+        want = self._unfused(conv_p, bn_p, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_gradients_match(self):
+        conv_p, bn_p, x = self._mk(21)
+
+        def loss(fn):
+            return lambda cp, bp, x: jnp.sum(jnp.square(fn(cp, bp, x)))
+
+        g_f = jax.grad(loss(L.fused_stem), argnums=(0, 1, 2))(
+            conv_p, bn_p, x)
+        g_u = jax.grad(loss(self._unfused), argnums=(0, 1, 2))(
+            conv_p, bn_p, x)
+        for a, b in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_u)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)
+
+    def test_backbone_auto_switch_matches(self):
+        # whole-backbone forward: fused stem vs unfused, same params
+        from dpc_tpu.models import resnet2d3d
+        key = jax.random.PRNGKey(3)
+        params, state = resnet2d3d.init_resnet2d3d(
+            key, "resnet18", track_running_stats=False)
+        x = _rand((1, 8, 32, 32, 3), seed=22)
+        out_u, _ = resnet2d3d.apply_resnet2d3d(
+            params, state, x, network="resnet18", stem_impl="unfused")
+        out_f, _ = resnet2d3d.apply_resnet2d3d(
+            params, state, x, network="resnet18", stem_impl="fused")
+        # the stem itself agrees to ~5e-7 (test_values_match); the chain of
+        # ~20 batch-stat BNs amplifies that rounding by ~1e4 at batch 1, so
+        # whole-net agreement is necessarily loose
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_u),
+                                   rtol=0.05, atol=0.05)
+
+    def test_conv_bias_folds(self):
+        conv_p, bn_p, x = self._mk(23)
+        rng = np.random.default_rng(24)
+        conv_p["b"] = jnp.asarray(
+            rng.normal(size=conv_p["w"].shape[-1]).astype(np.float32))
+        got = L.fused_stem(conv_p, bn_p, x)
+        want = self._unfused(conv_p, bn_p, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
