@@ -306,12 +306,6 @@ class RandomGray:
         return out
 
 
-def _blend(a: np.ndarray, b: np.ndarray, factor: float) -> np.ndarray:
-    return np.clip(a.astype(np.float32) * factor
-                   + b.astype(np.float32) * (1.0 - factor),
-                   0, 255).astype(np.uint8)
-
-
 def _grayscale(img: np.ndarray) -> np.ndarray:
     # ITU-R 601-2 luma, matching PIL convert('L') / torchvision
     g = (img[..., 0] * 0.299 + img[..., 1] * 0.587
@@ -320,9 +314,10 @@ def _grayscale(img: np.ndarray) -> np.ndarray:
 
 
 def _blend_lut(factor: float, other: float) -> np.ndarray:
-    """256-entry uint8 lookup table for ``_blend(v, other, factor)`` with a
-    scalar ``other`` — bit-identical to the float32 per-pixel formula
-    because the identical computation runs once per 8-bit value."""
+    """256-entry uint8 lookup table for torchvision's blend
+    ``clip(v·factor + other·(1−factor))`` with a scalar ``other`` —
+    bit-identical to the float32 per-pixel formula because the identical
+    computation runs once per 8-bit value."""
     v = np.arange(256, dtype=np.float32)
     return np.clip(v * factor + np.float32(other) * (1.0 - factor),
                    0, 255).astype(np.uint8)
@@ -345,7 +340,7 @@ def adjust_contrast(img: np.ndarray, factor: float) -> np.ndarray:
 
 def adjust_saturation(img: np.ndarray, factor: float) -> np.ndarray:
     # gray stays [H, W, 1]: broadcasting in the arithmetic avoids
-    # materialising the 3-channel float copy _blend would make
+    # materialising a 3-channel float copy of the gray image
     out = img.astype(np.float32)
     out *= factor
     out += _grayscale(img).astype(np.float32) * (1.0 - factor)

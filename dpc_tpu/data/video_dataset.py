@@ -170,9 +170,8 @@ class FrameClipDataset:
                 th, tw = self.decode_size
             else:
                 # frames of one video share dims (extraction contract);
-                # decode-to-native-dims of frame 0 sets the batch shape
-                first = native.decode_jpeg(buffers[0])
-                th, tw = first.shape[:2]
+                # a header-only probe of frame 0 sets the batch shape
+                th, tw = native.jpeg_dims(buffers[0])
             out, failures = native.decode_jpeg_batch(
                 buffers, th, tw, threads=self.decode_threads)
             if failures:

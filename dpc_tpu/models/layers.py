@@ -399,13 +399,16 @@ def fused_stem(conv_p: Params, bn_p: Params, x: jax.Array, *,
     stem's two remaining whole-activation traversals.
 
     Math: with per-channel a = γ·rsqrt(var+ε), b = β − mean·a, the stem is
-    ``maxpool(relu(a·x + b))``.  Fold s = sign(γ) into the conv weights so
-    the conv emits x' = s·x; then a·x + b = |a|·x' + b is per-channel
-    MONOTONE in x', and since relu is monotone,
-    ``maxpool(relu(|a|·x' + b)) = relu(|a|·maxpool(x') + b)``.
-    The stats are recoverable from x' alone: var(x') = var(x), and
-    mean·a = (s·mean(x'))·(γ·inv) = mean(x')·|γ|·inv, so b never needs s.
-    γ = 0 degenerates safely (a = 0 ⇒ output relu(β) either way).
+    ``maxpool(relu(a·x + b))``.  Fold s = (γ ≥ 0 ? +1 : −1) into the conv
+    weights so the conv emits x' = s·x; then a·x + b = (s·a)·x' + b with
+    s·a ≥ 0, so the map is per-channel MONOTONE in x', and since relu is
+    monotone, ``maxpool(relu(s·a·x' + b)) = relu(s·a·maxpool(x') + b)``.
+    The true stats are recovered from x': mean = s·mean(x'),
+    var(x') = var(x).  ``s`` is never 0 (γ = 0 gets s = +1), so the γ = 0
+    channel keeps the exact unfused forward AND gradient — in particular
+    dL/dγ = Σ g·relu'·(x_sel − mean)·inv stays nonzero, which matters for
+    recovering pruned/imported channels (s is a boolean-derived constant;
+    no gradient flows through it).
 
     Only valid for the ``track_running_stats=False`` BN the DPC pretrain
     backbone uses (``dpc/model_3d.py:28``) — there is no EMA state to
@@ -416,7 +419,7 @@ def fused_stem(conv_p: Params, bn_p: Params, x: jax.Array, *,
     the reordered affine (asserted in tests/test_maxpool_pallas.py).
     """
     gamma = bn_p["scale"]
-    sgn = jnp.sign(gamma)
+    sgn = jnp.where(gamma >= 0, 1.0, -1.0)
     wp = {"w": conv_p["w"] * sgn}
     if "b" in conv_p:
         wp["b"] = conv_p["b"] * sgn
@@ -430,9 +433,10 @@ def fused_stem(conv_p: Params, bn_p: Params, x: jax.Array, *,
     if axis_name is not None:
         var = jax.lax.pmean(var, axis_name)
     pooled = _maxpool_sas_raw(xs)
-    a_abs = jnp.abs(gamma) * jax.lax.rsqrt(var + eps)
-    b = bn_p["bias"] - mean_p * a_abs
-    y = jax.nn.relu(pooled.astype(jnp.float32) * a_abs + b)
+    inv = jax.lax.rsqrt(var + eps)
+    a_pos = sgn * gamma * inv                 # = |a|, but ∂/∂γ = s·inv ≠ 0
+    b = bn_p["bias"] - (sgn * mean_p) * (gamma * inv)   # β − mean·a
+    y = jax.nn.relu(pooled.astype(jnp.float32) * a_pos + b)
     return y.astype(xs.dtype)
 
 

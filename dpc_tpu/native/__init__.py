@@ -77,6 +77,16 @@ def available() -> bool:
     return _load() is not None
 
 
+def jpeg_dims(data: bytes) -> tuple[int, int]:
+    """(height, width) from the JPEG header alone — no pixel decode."""
+    lib = _load()
+    assert lib is not None, "native decoder unavailable"
+    dims = np.zeros(2, np.int32)
+    if lib.dpc_jpeg_dims(data, len(data), dims) != 0:
+        raise ValueError("corrupt JPEG header")
+    return int(dims[0]), int(dims[1])
+
+
 def decode_jpeg(data: bytes, target_hw: Optional[tuple[int, int]] = None
                 ) -> np.ndarray:
     """Decode (and optionally resize) one JPEG buffer → RGB uint8."""

@@ -160,7 +160,8 @@ def get_dataset(cfg: ExperimentConfig, mode: str, unit_test: bool = False):
 
 
 def run_test(cfg: ExperimentConfig, params, bn_state, exp_dir: str,
-             unit_test: bool = False, *, window_batch: int = 0
+             unit_test: bool = False, *, window_batch: int = 0,
+             shard_id: int = 0, num_shards: int = 1
              ) -> tuple[float, float]:
     """Dense evaluation: every video → overlapping windows → softmax
     averaged over windows (and crops, when the transform is multi-crop) →
@@ -171,13 +172,21 @@ def run_test(cfg: ExperimentConfig, params, bn_state, exp_dir: str,
     compiled program, every device busy, host video decode prefetched on
     a worker thread.  The reference evaluates one video per step
     (batch_size=1 DataLoader, ``eval/test.py:381-387``).
+
+    Multihost: each process evaluates the ``shard_id``-strided slice of
+    the video list on its OWN local-device mesh (feeding host-local
+    arrays into a global mesh is impossible), then per-video sums and the
+    confusion matrix are all-gathered and reduced; only process 0 writes
+    the artifacts.
     """
     import queue
     import threading
 
     e = cfg.eval
     ds = get_dataset(cfg, "test", unit_test)
-    mesh = meshlib.make_mesh(cfg.train.num_devices)
+    mesh = meshlib.make_mesh(
+        cfg.train.num_devices,
+        devices=jax.local_devices() if num_shards > 1 else None)
     n_dev = mesh.shape[meshlib.DATA_AXIS]
     wb = window_batch or 8 * n_dev
     wb = -(-wb // n_dev) * n_dev
@@ -192,7 +201,7 @@ def run_test(cfg: ExperimentConfig, params, bn_state, exp_dir: str,
     def producer():
         rng = np.random.default_rng(0)
         try:
-            for i in range(len(ds)):
+            for i in range(shard_id, len(ds), num_shards):
                 q.put((i, ds.sample(i, rng)))
         except Exception as exc:  # pragma: no cover - surfaced below
             q.put(exc)
@@ -228,7 +237,8 @@ def run_test(cfg: ExperimentConfig, params, bn_state, exp_dir: str,
         table.update(np.asarray([order[0]]), np.asarray([label]))
         n_done += 1
         if n_done % 20 == 0:
-            print(f"[test] {n_done}/{len(ds)} acc so far "
+            n_local = len(range(shard_id, len(ds), num_shards))
+            print(f"[test] {n_done}/{n_local} acc so far "
                   f"{np.mean(top1s):.4f} ({time.time() - tic:.1f}s)")
             tic = time.time()
 
@@ -274,16 +284,32 @@ def run_test(cfg: ExperimentConfig, params, bn_state, exp_dir: str,
     flush()
 
     dt = time.time() - t_start
-    top1, top5 = float(np.mean(top1s)), float(np.mean(top5s))
-    loss = float(np.mean(losses))
+    if num_shards > 1:  # reduce per-video sums + confusion across hosts
+        from jax.experimental import multihost_utils
+
+        local = np.asarray([np.sum(top1s), np.sum(top5s), np.sum(losses),
+                            len(top1s), n_windows], np.float64)
+        tot = np.asarray(multihost_utils.process_allgather(local)
+                         ).sum(axis=0)
+        top1, top5 = float(tot[0] / tot[3]), float(tot[1] / tot[3])
+        loss = float(tot[2] / tot[3])
+        n_windows = int(tot[4])
+        confusion.mat = np.asarray(
+            multihost_utils.process_allgather(confusion.mat)
+        ).sum(axis=0).astype(np.int64)
+    else:
+        top1, top5 = float(np.mean(top1s)), float(np.mean(top5s))
+        loss = float(np.mean(losses))
     print(f"[test] loss {loss:.4f}; top1 {top1:.4f}; top5 {top5:.4f}")
     print(f"[test] {n_windows} windows / {len(ds)} videos in {dt:.1f}s = "
-          f"{n_windows / dt:.1f} windows/s on {n_dev} device(s) (WB={wb})")
-    os.makedirs(exp_dir, exist_ok=True)
-    confusion.plot_mat(os.path.join(exp_dir, "confusion_matrix.svg"))
-    write_log(content=f"loss: {loss:.4f}; top1: {top1:.4f}; "
-              f"top5: {top5:.4f}",
-              epoch=0, filename=os.path.join(exp_dir, "test_log.md"))
+          f"{n_windows / dt:.1f} windows/s on {n_dev} device(s)/host "
+          f"(WB={wb}, {num_shards} host(s))")
+    if shard_id == 0:
+        os.makedirs(exp_dir, exist_ok=True)
+        confusion.plot_mat(os.path.join(exp_dir, "confusion_matrix.svg"))
+        write_log(content=f"loss: {loss:.4f}; top1: {top1:.4f}; "
+                  f"top5: {top5:.4f}",
+                  epoch=0, filename=os.path.join(exp_dir, "test_log.md"))
     return loss, top1
 
 
@@ -337,7 +363,8 @@ def main(argv=None) -> None:
                 print(f"loaded test checkpoint epoch {step}")
         else:
             print("[warning] testing RANDOM weights")
-        run_test(cfg, params, bn_state, exp_dir, args.unit_test)
+        run_test(cfg, params, bn_state, exp_dir, args.unit_test,
+                 shard_id=shard_id, num_shards=num_shards)
         return
 
     if args.pretrain:
@@ -415,17 +442,21 @@ def main(argv=None) -> None:
         val_loader.set_epoch(epoch)
         lr_scale = optim.multistep_restart_lr(
             epoch, 1.0, e.lr_milestones, e.lr_gamma, e.lr_repeat)
-        # denormalised input grid once per run (eval/test.py:232-238)
-        if writer_train is not None and epoch == start_epoch:
-            sample = next(iter(train_loader))[0]
-            grid = denormalize(sample.reshape(-1, *sample.shape[-3:])[:16])
-            writer_train.add_images("input_seq", grid, epoch,
-                                    dataformats="NHWC")
         ekey = jax.random.fold_in(jax.random.PRNGKey(cfg.train.seed), epoch)
         meters, vmeters = MetricBundle(), MetricBundle()
         for idx, (clips, labels) in enumerate(train_loader):
             if args.steps_per_epoch and idx >= args.steps_per_epoch:
                 break
+            # denormalised input grid once per run, captured from the
+            # batch already in hand (eval/test.py:232-238) — a separate
+            # `next(iter(loader))` would spin up a throwaway prefetching
+            # iterator and decode prefetch_batches for one image
+            if (writer_train is not None and epoch == start_epoch
+                    and idx == 0):
+                grid = denormalize(
+                    clips.reshape(-1, *clips.shape[-3:])[:16])
+                writer_train.add_images("input_seq", grid, epoch,
+                                        dataformats="NHWC")
             xb = meshlib.shard_batch(mesh, jnp.asarray(clips))
             yb = meshlib.shard_batch(mesh, jnp.asarray(labels))
             state, metrics = step_fn(state, xb, yb, ekey,

@@ -179,11 +179,15 @@ class TestFusedStem:
         conv_p = {"w": jnp.asarray(
             rng.normal(size=(1, 7, 7, cin, cout)).astype(np.float32) * 0.1)}
         gamma = rng.uniform(0.5, 1.5, cout).astype(np.float32)
+        bias = rng.normal(size=cout).astype(np.float32)
         if negate_some:
             gamma[::3] *= -1.0          # negative BN scales must stay exact
-            gamma[1] = 0.0              # and the degenerate γ=0 channel
+            gamma[1] = 0.0              # and the degenerate γ=0 channel:
+            bias[1] = 0.7               # β > 0 keeps relu' = 1 there, so a
+            # frozen dL/dγ (the jnp.sign(γ) fold bug) cannot hide behind a
+            # dead ReLU
         bn_p = {"scale": jnp.asarray(gamma),
-                "bias": jnp.asarray(rng.normal(size=cout).astype(np.float32))}
+                "bias": jnp.asarray(bias)}
         x = jnp.asarray(rng.normal(size=(2, 3, 16, 16, cin))
                         .astype(np.float32))
         return conv_p, bn_p, x
@@ -211,9 +215,24 @@ class TestFusedStem:
             conv_p, bn_p, x)
         g_u = jax.grad(loss(self._unfused), argnums=(0, 1, 2))(
             conv_p, bn_p, x)
-        for a, b in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_u)):
+        # γ=0 makes the pre-pool activation CONSTANT (y = β everywhere), so
+        # the max-pool ties at every window and dL/dγ is a tie-dependent
+        # subgradient — the two formulations legitimately select different
+        # valid subgradients there.  Compare everything else exactly...
+        mask = np.ones(8, bool)
+        mask[1] = False
+        np.testing.assert_allclose(np.asarray(g_f[1]["scale"])[mask],
+                                   np.asarray(g_u[1]["scale"])[mask],
+                                   rtol=2e-4, atol=2e-4)
+        for a, b in zip(jax.tree.leaves((g_f[0], g_f[1]["bias"], g_f[2])),
+                        jax.tree.leaves((g_u[0], g_u[1]["bias"], g_u[2]))):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=2e-4)
+        # ...and require the γ=0 scale gradient to be LIVE in both (the
+        # naive sign(γ) fold silently froze it to exactly 0, stranding
+        # pruned/imported channels forever)
+        assert abs(float(g_u[1]["scale"][1])) > 1e-3
+        assert abs(float(g_f[1]["scale"][1])) > 1e-3
 
     def test_backbone_auto_switch_matches(self):
         # whole-backbone forward: fused stem vs unfused, same params

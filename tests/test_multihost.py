@@ -90,3 +90,70 @@ def test_two_process_train_step_matches_single_process(tmp_path):
     _, metrics = step(state, xb, jax.random.PRNGKey(42))
     np.testing.assert_allclose(losses[0], float(metrics["loss"]),
                                rtol=1e-5)
+
+
+TEST_WORKER = r"""
+import os, sys, json
+proc_id = int(sys.argv[1])
+port = sys.argv[2]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                           num_processes=2, process_id=proc_id)
+from dpc_tpu.models import lc
+from dpc_tpu.train import evaluate
+
+TINY = ["--dataset", "synthetic", "--batch_size", "8", "--img_dim", "32",
+        "--num_seq", "3", "--seq_len", "4", "--compute_dtype", "float32",
+        "--test", "random", "--seed", "0"]
+args = evaluate.build_parser().parse_args(TINY)
+cfg = evaluate.config_from_args(args)
+params, bn_state = lc.init_lc(jax.random.PRNGKey(666), cfg.model,
+                              cfg.eval.num_classes)
+loss, top1 = evaluate.run_test(cfg, params, bn_state,
+                               sys.argv[3], window_batch=16,
+                               shard_id=proc_id, num_shards=2)
+print("RESULT " + json.dumps({"loss": loss, "top1": top1}), flush=True)
+"""
+
+
+def test_two_process_dense_test_matches_single_process(tmp_path):
+    """--multihost dense test: videos sharded across processes, metrics
+    all-gathered — must equal the single-process run_test exactly."""
+    env = dict(os.environ, PYTHONPATH="/root/repo:/root/.axon_site")
+    script = tmp_path / "test_worker.py"
+    script.write_text(TEST_WORKER)
+    port = "19871"
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(i), port,
+         str(tmp_path / f"out{i}")],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, cwd="/root/repo") for i in range(2)]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    results = []
+    for out in outs:
+        lines = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        assert lines, out[-2000:]
+        results.append(json.loads(lines[0][len("RESULT "):]))
+    assert results[0] == results[1], results   # both saw the reduced metrics
+    assert os.path.exists(tmp_path / "out0" / "test_log.md")
+    assert not os.path.exists(tmp_path / "out1" / "test_log.md")
+
+    # single-process reference
+    import jax
+    from dpc_tpu.models import lc
+    from dpc_tpu.train import evaluate
+
+    TINY = ["--dataset", "synthetic", "--batch_size", "8", "--img_dim",
+            "32", "--num_seq", "3", "--seq_len", "4", "--compute_dtype",
+            "float32", "--test", "random", "--seed", "0"]
+    args = evaluate.build_parser().parse_args(TINY)
+    cfg = evaluate.config_from_args(args)
+    params, bn_state = lc.init_lc(jax.random.PRNGKey(666), cfg.model,
+                                  cfg.eval.num_classes)
+    loss, top1 = evaluate.run_test(cfg, params, bn_state,
+                                   str(tmp_path / "single"),
+                                   window_batch=16)
+    np.testing.assert_allclose(results[0]["loss"], loss, rtol=1e-5)
+    np.testing.assert_allclose(results[0]["top1"], top1, rtol=1e-12)
