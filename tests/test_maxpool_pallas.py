@@ -260,3 +260,56 @@ class TestFusedStem:
         want = self._unfused(conv_p, bn_p, x)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_fused_stem_composes_with_shard_map():
+    """Multi-chip TPU uses fused_stem inside shard_map (with and without
+    cross-replica stats); both must linearise and match the unfused form
+    computed on the full batch."""
+    from functools import partial
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    rng = np.random.default_rng(30)
+    conv_p = {"w": jnp.asarray(
+        rng.normal(size=(1, 7, 7, 3, 8)).astype(np.float32) * 0.1)}
+    gamma = rng.uniform(0.5, 1.5, 8).astype(np.float32)
+    gamma[::3] *= -1.0
+    bn_p = {"scale": jnp.asarray(gamma),
+            "bias": jnp.asarray(rng.normal(size=8).astype(np.float32))}
+    x = jnp.asarray(rng.normal(size=(4, 2, 8, 8, 3)).astype(np.float32))
+
+    mesh = Mesh(np.array(jax.devices("cpu")[:2]), ("data",))
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(), P(), P("data")), out_specs=P())
+    def loss_syncbn(cp, bp, x):
+        y = L.fused_stem(cp, bp, x, axis_name="data")
+        return jax.lax.psum(jnp.sum(jnp.square(y)), "data")
+
+    def loss_full(cp, bp, x):      # unfused, full-batch stats
+        h = L.conv3d(cp, x, (1, 2, 2), (0, 3, 3))
+        h, _ = L.batchnorm(bp, None, h, train=True)
+        h = L.maxpool3d(jax.nn.relu(h), (1, 3, 3), (1, 2, 2), (0, 1, 1))
+        return jnp.sum(jnp.square(h))
+
+    # cross-replica stats == full-batch stats ⇒ values and grads agree
+    np.testing.assert_allclose(float(loss_syncbn(conv_p, bn_p, x)),
+                               float(loss_full(conv_p, bn_p, x)),
+                               rtol=1e-5)
+    g_s = jax.grad(loss_syncbn, argnums=(0, 1, 2))(conv_p, bn_p, x)
+    g_f = jax.grad(loss_full, argnums=(0, 1, 2))(conv_p, bn_p, x)
+    for a, b in zip(jax.tree.leaves(g_s), jax.tree.leaves(g_f)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+    # per-shard stats (the DataParallel-parity default) also linearises
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(), P(), P("data")), out_specs=P())
+    def loss_local(cp, bp, x):
+        y = L.fused_stem(cp, bp, x)
+        return jax.lax.psum(jnp.sum(jnp.square(y)), "data")
+
+    g = jax.grad(loss_local, argnums=2)(conv_p, bn_p, x)
+    assert np.isfinite(np.asarray(g)).all()
