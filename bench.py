@@ -31,10 +31,12 @@ def main() -> None:
     from dpc_tpu.train import optim, pretrain_step
 
     batch = 64
-    # flagship R18-128 8×5 pred3, bf16 compute, default (auto) NCE impl —
-    # auto picks the XLA path at this shape (ops/nce.py::pick_nce_impl);
-    # forcing the flash kernel here was measured slower (docs/RESULTS.md)
-    cfg = DPCConfig(compute_dtype="bfloat16", gru_impl="pallas")
+    # flagship R18-128 8×5 pred3, bf16 compute, default impls throughout:
+    # NCE 'auto' picks the XLA path at this shape (ops/nce.py), and the
+    # default scan GRU beats the Pallas recurrence here (docs/RESULTS.md
+    # "ConvGRU kernel microbenchmark") — the bench measures what a user
+    # gets with stock flags
+    cfg = DPCConfig(compute_dtype="bfloat16")
     tcfg = TrainConfig(batch_size=batch, lr=1e-3, wd=1e-5,
                        negatives="local", donate=True)
     mesh = meshlib.make_mesh(1)
