@@ -81,10 +81,12 @@ def random_gray(key: jax.Array, clip: jax.Array, p: float = 0.5,
     k1, k2 = jax.random.split(key)
     apply = jax.random.bernoulli(k1, p, shape)
     chan = jax.random.randint(k2, shape, 0, 3)
+    # reshape to full rank (leading axis broadcasts over T in the
+    # clip-consistent per_frame=False mode)
     picked = jnp.take_along_axis(
-        clip, chan.reshape(shape + (1, 1, 1)), axis=-1)
+        clip, chan.reshape((-1, 1, 1, 1)), axis=-1)
     gray = jnp.broadcast_to(picked, clip.shape)
-    return jnp.where(apply.reshape(shape + (1, 1, 1)), gray, clip)
+    return jnp.where(apply.reshape((-1, 1, 1, 1)), gray, clip)
 
 
 def color_jitter(key: jax.Array, clip: jax.Array, brightness=0.5,

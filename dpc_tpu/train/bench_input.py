@@ -58,7 +58,8 @@ def main(argv=None) -> None:
 
         ds = SyntheticVideoDataset(
             transform=transform,
-            num_videos=max(256, args.batch_size * args.batches),
+            # +1 batch: the warm-up next(it) below consumes one
+            num_videos=max(256, args.batch_size * (args.batches + 1)),
             video_len=256, frame_size=150)
     else:
         from dpc_tpu.data.video_dataset import make_dataset

@@ -192,7 +192,6 @@ def run_test(cfg: ExperimentConfig, params, bn_state, exp_dir: str,
     wb = -(-wb // n_dev) * n_dev
     forward = finetune_step.make_test_forward_sharded(cfg.model, e, mesh)
     confusion = ConfusionMeter(e.num_classes)
-    table = AccuracyTable()
     top1s, top5s, losses = [], [], []
 
     # host video loading overlaps device compute
@@ -234,7 +233,6 @@ def run_test(cfg: ExperimentConfig, params, bn_state, exp_dir: str,
         zl = mean_logits - mean_logits.max()
         losses.append(float(np.log(np.exp(zl).sum()) - zl[label]))
         confusion.update(np.asarray([order[0]]), np.asarray([label]))
-        table.update(np.asarray([order[0]]), np.asarray([label]))
         n_done += 1
         if n_done % 20 == 0:
             n_local = len(range(shard_id, len(ds), num_shards))
@@ -305,6 +303,18 @@ def run_test(cfg: ExperimentConfig, params, bn_state, exp_dir: str,
           f"{n_windows / dt:.1f} windows/s on {n_dev} device(s)/host "
           f"(WB={wb}, {num_shards} host(s))")
     if shard_id == 0:
+        # per-class accuracy (the reference's acc_table printout,
+        # eval/test.py:330-335), derived from the host-reduced confusion
+        # matrix so multihost reports global — not shard-local — numbers
+        table = AccuracyTable()
+        for t_cls in range(e.num_classes):
+            cnt = int(confusion.mat[:, t_cls].sum())
+            if cnt:
+                table.dict[t_cls] = {
+                    "count": cnt,
+                    "correct": int(confusion.mat[t_cls, t_cls])}
+        table.print_table("test")
+    if shard_id == 0:
         os.makedirs(exp_dir, exist_ok=True)
         confusion.plot_mat(os.path.join(exp_dir, "confusion_matrix.svg"))
         write_log(content=f"loss: {loss:.4f}; top1: {top1:.4f}; "
@@ -325,6 +335,9 @@ def main(argv=None) -> None:
     if t.batch_size % n_dev:
         raise SystemExit(f"--batch_size {t.batch_size} must be divisible "
                          f"by {n_dev} devices")
+    if t.batch_size % num_shards:
+        raise SystemExit(f"--batch_size {t.batch_size} must be divisible "
+                         f"by {num_shards} hosts")
 
     exp_dir = (args.resume if args.resume else os.path.join(
         args.log_dir,

@@ -238,7 +238,7 @@ def run_epoch(step_fn, state, loader, mesh, key, *, train: bool,
               epoch: int = 0, writer=None, iteration: int = 0,
               max_steps: int = 0, start_batch: int = 0,
               step_save_fn=None, save_every_steps: int = 0,
-              guard=None):
+              guard=None, first_batch_fn=None):
     meters = MetricBundle()
     tic = time.time()
     it = loader.iterate(start_batch) if hasattr(loader, "iterate") \
@@ -246,6 +246,9 @@ def run_epoch(step_fn, state, loader, mesh, key, *, train: bool,
     for idx, batch in enumerate(it, start=start_batch):
         if max_steps and idx >= max_steps:
             break
+        if first_batch_fn is not None:
+            first_batch_fn(batch)
+            first_batch_fn = None
         xb = meshlib.shard_batch(mesh, jnp.asarray(batch))
         if train:
             state, metrics = step_fn(state, xb, key)
@@ -274,7 +277,10 @@ def run_epoch(step_fn, state, loader, mesh, key, *, train: bool,
         if (train and step_save_fn is not None
                 and (preempted or (save_every_steps
                                    and (idx + 1) % save_every_steps == 0))):
-            step_save_fn(state, epoch, idx)
+            # pass the LIVE iteration counter: the caller's copy only
+            # advances when this function returns, and persisting a stale
+            # value rewinds the TB scalar axis on mid-epoch resume
+            step_save_fn(state, epoch, idx, iteration)
         if preempted:
             raise SystemExit("[preemption] checkpointed and exiting")
     return state, meters, iteration
@@ -298,6 +304,9 @@ def main(argv=None) -> None:
     if t.batch_size % n_dev:
         raise SystemExit(f"--batch_size {t.batch_size} must be divisible "
                          f"by {n_dev} devices")
+    if t.batch_size % num_shards:
+        raise SystemExit(f"--batch_size {t.batch_size} must be divisible "
+                         f"by {num_shards} hosts")
 
     exp_dir = (args.resume if args.resume
                else os.path.join(args.log_dir,
@@ -423,23 +432,33 @@ def main(argv=None) -> None:
         val_loader.set_epoch(epoch)
         ekey = jax.random.fold_in(jax.random.PRNGKey(t.seed), epoch)
 
-        # log a denormalised input grid once per run (dpc/main.py:200-206)
-        if writer_train is not None and epoch == start_epoch:
-            sample = next(iter(train_loader))
-            grid = denormalize(sample[0].reshape(
-                -1, *sample.shape[-3:])[:16])
+        # log an input grid once per run (dpc/main.py:200-206), captured
+        # from the first batch already in hand — a separate
+        # next(iter(loader)) would spin up a throwaway prefetching
+        # iterator and decode prefetch_batches of clips for one image
+        def log_input_grid(sample):
+            frames = sample[0].reshape(-1, *sample.shape[-3:])[:16]
+            if frames.dtype == np.uint8:
+                # --device_augment feeds raw uint8 pre-crop windows;
+                # denormalize() would saturate them to white
+                grid = frames.astype(np.float32) / 255.0
+            else:
+                grid = denormalize(frames)
             writer_train.add_images("input_seq", grid, epoch,
                                     dataformats="NHWC")
 
+        grid_fn = (log_input_grid if writer_train is not None
+                   and epoch == start_epoch else None)
+
         from dpc_tpu.utils.profiling import trace
 
-        def save_mid_epoch(st, ep, batch_idx):
+        def save_mid_epoch(st, ep, batch_idx, live_iteration):
             host = jax.device_get(st)
-            ckpt.save(step_mgr, iteration + batch_idx + ep * 100000,
+            ckpt.save(step_mgr, live_iteration + batch_idx + ep * 100000,
                       {"params": host.params, "opt_state": host.opt_state,
                        "step": host.step, "epoch": ep,
                        "batch_idx": batch_idx, "best_acc": best_acc,
-                       "iteration": iteration})
+                       "iteration": live_iteration})
 
         with trace(args.profile if epoch == start_epoch else None):
             state, meters, iteration = run_epoch(
@@ -448,7 +467,8 @@ def main(argv=None) -> None:
                 iteration=iteration, max_steps=args.steps_per_epoch,
                 start_batch=start_batch if epoch == start_epoch else 0,
                 step_save_fn=save_mid_epoch if step_mgr else None,
-                save_every_steps=args.save_every_steps, guard=guard)
+                save_every_steps=args.save_every_steps, guard=guard,
+                first_batch_fn=grid_fn)
         _, vmeters, _ = run_epoch(
             step_fn, state, val_loader, mesh, ekey, train=False,
             eval_fn=eval_fn, params_for_eval=state.params,

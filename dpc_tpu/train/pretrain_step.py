@@ -96,6 +96,11 @@ def make_pretrain_step(model_cfg: DPCConfig, train_cfg: TrainConfig,
     bn_axis = DATA_AXIS if train_cfg.cross_replica_bn else None
     grad_axes = (DATA_AXIS, MODEL_AXIS) if n_model > 1 else DATA_AXIS
     use_fused = resolve_nce_impl(train_cfg, model_cfg, n_data) == "fused"
+    if n_model > 1 and train_cfg.negatives != "global":
+        # every model-axis peer would run the identical replicated compute:
+        # n_model× the chips for 1× the throughput, silently
+        raise ValueError("--model_parallel > 1 requires --negatives global "
+                         "(the model axis shards the global candidate pool)")
 
     def fwd(params, batch, key):
         return dpc.apply_dpc(params, batch, cfg=model_cfg, train=True,
@@ -168,6 +173,10 @@ def make_eval_step(model_cfg: DPCConfig, train_cfg: TrainConfig, mesh):
     local_b = train_cfg.batch_size // n_data
     local_targets = jnp.asarray(nce.nce_targets(
         local_b, model_cfg.pred_step, model_cfg.sq))
+    # same impl resolution as the train step: in the capacity regime the
+    # unfused global score matrix does not fit HBM, and validation must
+    # not OOM a run whose training epochs succeed
+    use_fused = resolve_nce_impl(train_cfg, model_cfg, n_data) == "fused"
 
     def device_step(params, batch, key):
         if train_cfg.device_augment:
@@ -186,9 +195,23 @@ def make_eval_step(model_cfg: DPCConfig, train_cfg: TrainConfig, mesh):
                 data_axis=DATA_AXIS, model_axis=MODEL_AXIS)
             return jax.lax.pmean({"loss": loss, **metrics}, DATA_AXIS)
         if train_cfg.negatives == "global" and n_data > 1:
+            if use_fused:
+                gt_all = jax.lax.all_gather(gt.astype(jnp.float32),
+                                            DATA_AXIS, axis=0, tiled=True)
+                rpd = local_targets.shape[0]
+                targets = (jax.lax.axis_index(DATA_AXIS) * rpd
+                           + local_targets)
+                loss, metrics = nce_pallas.fused_nce_loss(
+                    pred.astype(jnp.float32), gt_all, targets)
+                return jax.lax.pmean({"loss": loss, **metrics}, DATA_AXIS)
             score, targets = _global_score_and_targets(
                 pred.astype(jnp.float32), gt.astype(jnp.float32),
                 model_cfg, DATA_AXIS)
+        elif use_fused:
+            loss, metrics = nce_pallas.fused_nce_loss(
+                pred.astype(jnp.float32), gt.astype(jnp.float32),
+                local_targets)
+            return jax.lax.pmean({"loss": loss, **metrics}, DATA_AXIS)
         else:
             targets = local_targets
         loss, metrics = nce.nce_loss(score, targets)

@@ -136,3 +136,22 @@ def test_device_matches_host_distribution_k400_recipe():
     precrop = A.Compose([A.Scale(150), A.PadTo(150, 200),
                          A.RandomCrop((150, 200), consistent=True)])
     _distribution_check(host_tf, precrop, "sized_crop", (150, 200))
+
+
+def test_random_gray_clip_consistent_mode():
+    # per_frame=False: ONE coin flip / channel pick for the whole clip
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dpc_tpu.data import device_augment as da
+
+    clip = jnp.asarray(np.random.default_rng(0).random((4, 8, 8, 3),),
+                       jnp.float32)
+    out = np.asarray(da.random_gray(jax.random.PRNGKey(3), clip, p=1.0,
+                                    per_frame=False))
+    # every frame collapsed to the SAME channel
+    assert np.allclose(out[..., 0], out[..., 1])
+    assert np.allclose(out[..., 0], out[..., 2])
+    src = np.asarray(clip)
+    match = [np.allclose(out[..., 0], src[..., c]) for c in range(3)]
+    assert sum(match) == 1

@@ -165,3 +165,38 @@ def test_cross_replica_bn_matches_full_batch(mesh, setup):
     got = np.asarray(sharded(jnp.asarray(x)))
     want, _ = L.batchnorm(params[0], None, jnp.asarray(x), train=True)
     np.testing.assert_allclose(got, np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+def test_eval_step_fused_nce_matches_xla(mesh, setup):
+    """Validation must honor the NCE impl resolution: in the capacity
+    regime the unfused global score cannot be materialised, so the eval
+    step routes through the flash kernel — with identical loss."""
+    params, x = setup
+    xb = meshlib.shard_batch(mesh, jnp.asarray(x))
+    key = jax.random.PRNGKey(7)
+    losses = {}
+    for impl in ("xla", "fused"):
+        tcfg = TrainConfig(batch_size=B, lr=1e-3, wd=1e-5,
+                           negatives="global", nce_impl=impl)
+        ev = pretrain_step.make_eval_step(CFG, tcfg, mesh)
+        losses[impl] = float(ev(params, xb, key)["loss"])
+    np.testing.assert_allclose(losses["fused"], losses["xla"], rtol=1e-5)
+
+    # local negatives too
+    for impl in ("xla", "fused"):
+        tcfg = TrainConfig(batch_size=B, lr=1e-3, wd=1e-5,
+                           negatives="local", nce_impl=impl)
+        ev = pretrain_step.make_eval_step(CFG, tcfg, mesh)
+        losses[impl] = float(ev(params, xb, key)["loss"])
+    # atol: the 1-clip local pool is trivially separable (loss ≈ 0)
+    np.testing.assert_allclose(losses["fused"], losses["xla"],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_model_parallel_requires_global_negatives(setup):
+    params, x = setup
+    mp_mesh = meshlib.make_mesh(8, model_parallel=2)
+    tcfg = TrainConfig(batch_size=B, lr=1e-3, wd=1e-5, negatives="local")
+    tx = optim.pretrain_optimizer(params, tcfg.lr, tcfg.wd)
+    with pytest.raises(ValueError, match="negatives global"):
+        pretrain_step.make_pretrain_step(CFG, tcfg, mp_mesh, tx)
