@@ -250,16 +250,26 @@ def run_test(cfg: ExperimentConfig, params, bn_state, exp_dir: str,
         if r < wb:  # tail batch: pad with repeats, dropped below
             rows = np.concatenate(
                 [rows, np.repeat(rows[-1:], wb - r, axis=0)])
-        logits = np.asarray(forward(params, bn_state,
-                                    jnp.asarray(rows)))[:r]
+        dev = forward(params, bn_state, jnp.asarray(rows))  # async dispatch
+        drain()  # convert the PREVIOUS flush while this one computes
+        pending.append((dev, r, meta))
+        buf, meta = [], []
+
+    def drain():
+        # one-deep pipeline: device compute of flush k overlaps host
+        # softmax/bookkeeping (and the device→host fetch) of flush k−1
+        if not pending:
+            return
+        dev, r, metas = pending.pop()
+        logits = np.asarray(dev)[:r]
         ofs = 0
-        for vid, cnt in meta:
+        for vid, cnt in metas:
             chunks.setdefault(vid, []).append(logits[ofs:ofs + cnt])
             ofs += cnt
             if sum(a.shape[0] for a in chunks[vid]) == counts[vid]:
                 finalize(vid)
-        buf, meta = [], []
 
+    pending: list = []
     space = wb
     while True:
         item = q.get()
@@ -280,6 +290,7 @@ def run_test(cfg: ExperimentConfig, params, bn_state, exp_dir: str,
                 flush()
                 space = wb
     flush()
+    drain()
 
     dt = time.time() - t_start
     if num_shards > 1:  # reduce per-video sums + confusion across hosts
