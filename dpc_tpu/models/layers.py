@@ -389,14 +389,17 @@ _maxpool_sas_raw.defvjp(_mps_fwd, _mps_bwd)
 
 
 def fused_stem(conv_p: Params, bn_p: Params, x: jax.Array, *,
+               state: Optional[Params] = None, train: bool = True,
+               momentum: float = 0.1,
                stride: tuple[int, int, int] = (1, 2, 2),
                padding: tuple[int, int, int] = (0, 3, 3),
                dtype=None, eps: float = 1e-5,
-               axis_name: Optional[str] = None) -> jax.Array:
-    """conv → BN(batch stats) → ReLU → 3×3/s2 max-pool with the normalize
-    deferred to POOLED resolution — an exact reformulation that removes
-    the full-resolution normalize pass (fwd) and ReLU gate (bwd), the
-    stem's two remaining whole-activation traversals.
+               axis_name: Optional[str] = None
+               ) -> tuple[jax.Array, Optional[Params]]:
+    """conv → BN → ReLU → 3×3/s2 max-pool with the normalize deferred to
+    POOLED resolution — an exact reformulation that removes the
+    full-resolution normalize pass (fwd) and ReLU gate (bwd), the stem's
+    two remaining whole-activation traversals.
 
     Math: with per-channel a = γ·rsqrt(var+ε), b = β − mean·a, the stem is
     ``maxpool(relu(a·x + b))``.  Fold s = (γ ≥ 0 ? +1 : −1) into the conv
@@ -410,10 +413,14 @@ def fused_stem(conv_p: Params, bn_p: Params, x: jax.Array, *,
     recovering pruned/imported channels (s is a boolean-derived constant;
     no gradient flows through it).
 
-    Only valid for the ``track_running_stats=False`` BN the DPC pretrain
-    backbone uses (``dpc/model_3d.py:28``) — there is no EMA state to
-    update, and both train and eval normalise by batch stats.  The
-    running-stats path keeps the unfused form.
+    BN modes mirror ``batchnorm`` exactly:
+      * ``state is None`` (DPC pretrain, ``dpc/model_3d.py:28``): batch
+        stats always, no state;
+      * ``state`` given, ``train=True`` (LC finetune): batch stats
+        normalise; the EMA update uses the recovered true mean s·mean(x')
+        and torch's unbiased variance;
+      * ``state`` given, ``train=False`` (LC eval / dense test): running
+        stats are CONSTANTS, so the deferred affine costs nothing at all.
 
     Value parity with the unfused form is exact up to f32/bf16 rounding of
     the reordered affine (asserted in tests/test_maxpool_pallas.py).
@@ -424,20 +431,33 @@ def fused_stem(conv_p: Params, bn_p: Params, x: jax.Array, *,
     if "b" in conv_p:
         wp["b"] = conv_p["b"] * sgn
     xs = conv3d(wp, x, stride, padding, dtype)          # x' = s·x
-    xf = xs.astype(jnp.promote_types(xs.dtype, jnp.float32))
-    reduce_axes = tuple(range(xf.ndim - 1))
-    mean_p = jnp.mean(xf, axis=reduce_axes)
-    if axis_name is not None:
-        mean_p = jax.lax.pmean(mean_p, axis_name)
-    var = jnp.mean(jnp.square(xf - mean_p), axis=reduce_axes)
-    if axis_name is not None:
-        var = jax.lax.pmean(var, axis_name)
+    new_state = state
+    if state is None or train:
+        xf = xs.astype(jnp.promote_types(xs.dtype, jnp.float32))
+        reduce_axes = tuple(range(xf.ndim - 1))
+        mean_p = jnp.mean(xf, axis=reduce_axes)
+        if axis_name is not None:
+            mean_p = jax.lax.pmean(mean_p, axis_name)
+        var = jnp.mean(jnp.square(xf - mean_p), axis=reduce_axes)
+        if axis_name is not None:
+            var = jax.lax.pmean(var, axis_name)
+        if state is not None and train:
+            count = float(np.prod([xf.shape[a] for a in reduce_axes]))
+            unbiased = var * (count / max(count - 1.0, 1.0))
+            new_state = {
+                "mean": (1 - momentum) * state["mean"]
+                        + momentum * (sgn * mean_p),
+                "var": (1 - momentum) * state["var"] + momentum * unbiased,
+            }
+        inv = jax.lax.rsqrt(var + eps)
+        b = bn_p["bias"] - (sgn * mean_p) * (gamma * inv)   # β − mean·a
+    else:  # eval with running stats: the affine is a constant
+        inv = jax.lax.rsqrt(state["var"] + eps)
+        b = bn_p["bias"] - state["mean"] * (gamma * inv)
     pooled = _maxpool_sas_raw(xs)
-    inv = jax.lax.rsqrt(var + eps)
     a_pos = sgn * gamma * inv                 # = |a|, but ∂/∂γ = s·inv ≠ 0
-    b = bn_p["bias"] - (sgn * mean_p) * (gamma * inv)   # β − mean·a
     y = jax.nn.relu(pooled.astype(jnp.float32) * a_pos + b)
-    return y.astype(xs.dtype)
+    return y.astype(xs.dtype), new_state
 
 
 def relu_maxpool_stem(x: jax.Array, impl: str = "auto") -> jax.Array:

@@ -217,21 +217,23 @@ def apply_resnet2d3d(params: Params, state: Optional[Params], x: jax.Array, *,
 
     ``stem_impl``: "fused" applies conv→BN→ReLU→pool with the normalize
     deferred to pooled resolution (``layers.fused_stem`` — exact
-    reformulation, batch-stats BN only); "unfused" keeps the literal op
-    order; "auto" picks "fused" on TPU when there is no running-stats
-    state to maintain.
+    reformulation covering all three BN modes, including the
+    running-stats EMA); "unfused" keeps the literal op order; "auto"
+    picks "fused" on TPU.
     """
     specs = _block_specs(network)
     track = state is not None
     new_state: Params = {}
 
     if stem_impl == "auto":
-        stem_impl = ("fused" if not track
-                     and jax.default_backend() == "tpu" else "unfused")
+        stem_impl = ("fused" if jax.default_backend() == "tpu"
+                     else "unfused")
     if stem_impl == "fused":
-        assert not track, "fused stem requires track_running_stats=False"
-        h = L.fused_stem(params["stem"]["conv"], params["stem"]["bn"], x,
-                         dtype=dtype, axis_name=axis_name)
+        h, ns = L.fused_stem(params["stem"]["conv"], params["stem"]["bn"],
+                             x, state=state["stem"]["bn"] if track else None,
+                             train=train, dtype=dtype, axis_name=axis_name)
+        if track:
+            new_state["stem"] = {"bn": ns}
     else:
         h = L.conv3d(params["stem"]["conv"], x, (1, 2, 2), (0, 3, 3), dtype)
         h, ns = L.batchnorm(params["stem"]["bn"],

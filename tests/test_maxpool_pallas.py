@@ -200,7 +200,7 @@ class TestFusedStem:
 
     def test_values_match(self):
         conv_p, bn_p, x = self._mk(20)
-        got = L.fused_stem(conv_p, bn_p, x)
+        got = L.fused_stem(conv_p, bn_p, x)[0]
         want = self._unfused(conv_p, bn_p, x)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
@@ -211,8 +211,8 @@ class TestFusedStem:
         def loss(fn):
             return lambda cp, bp, x: jnp.sum(jnp.square(fn(cp, bp, x)))
 
-        g_f = jax.grad(loss(L.fused_stem), argnums=(0, 1, 2))(
-            conv_p, bn_p, x)
+        g_f = jax.grad(loss(lambda *a: L.fused_stem(*a)[0]),
+                       argnums=(0, 1, 2))(conv_p, bn_p, x)
         g_u = jax.grad(loss(self._unfused), argnums=(0, 1, 2))(
             conv_p, bn_p, x)
         # γ=0 makes the pre-pool activation CONSTANT (y = β everywhere), so
@@ -256,7 +256,7 @@ class TestFusedStem:
         rng = np.random.default_rng(24)
         conv_p["b"] = jnp.asarray(
             rng.normal(size=conv_p["w"].shape[-1]).astype(np.float32))
-        got = L.fused_stem(conv_p, bn_p, x)
+        got = L.fused_stem(conv_p, bn_p, x)[0]
         want = self._unfused(conv_p, bn_p, x)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
@@ -284,7 +284,7 @@ def test_fused_stem_composes_with_shard_map():
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(), P(), P("data")), out_specs=P())
     def loss_syncbn(cp, bp, x):
-        y = L.fused_stem(cp, bp, x, axis_name="data")
+        y = L.fused_stem(cp, bp, x, axis_name="data")[0]
         return jax.lax.psum(jnp.sum(jnp.square(y)), "data")
 
     def loss_full(cp, bp, x):      # unfused, full-batch stats
@@ -308,8 +308,76 @@ def test_fused_stem_composes_with_shard_map():
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(), P(), P("data")), out_specs=P())
     def loss_local(cp, bp, x):
-        y = L.fused_stem(cp, bp, x)
+        y = L.fused_stem(cp, bp, x)[0]
         return jax.lax.psum(jnp.sum(jnp.square(y)), "data")
 
     g = jax.grad(loss_local, argnums=2)(conv_p, bn_p, x)
     assert np.isfinite(np.asarray(g)).all()
+
+
+class TestFusedStemRunningStats:
+    """The LC (track_running_stats=True) BN modes of fused_stem."""
+
+    def _mk(self, seed):
+        rng = np.random.default_rng(seed)
+        conv_p = {"w": jnp.asarray(
+            rng.normal(size=(1, 7, 7, 3, 8)).astype(np.float32) * 0.1)}
+        gamma = rng.uniform(0.5, 1.5, 8).astype(np.float32)
+        gamma[::3] *= -1.0
+        bn_p = {"scale": jnp.asarray(gamma),
+                "bias": jnp.asarray(rng.normal(size=8).astype(np.float32))}
+        state = {"mean": jnp.asarray(
+            rng.normal(size=8).astype(np.float32) * 0.3),
+            "var": jnp.asarray(
+                rng.uniform(0.5, 2.0, 8).astype(np.float32))}
+        x = jnp.asarray(rng.normal(size=(2, 3, 16, 16, 3))
+                        .astype(np.float32))
+        return conv_p, bn_p, state, x
+
+    @staticmethod
+    def _unfused(conv_p, bn_p, state, x, train):
+        h = L.conv3d(conv_p, x, (1, 2, 2), (0, 3, 3))
+        h, ns = L.batchnorm(bn_p, state, h, train=train)
+        return L.maxpool3d(jax.nn.relu(h),
+                           (1, 3, 3), (1, 2, 2), (0, 1, 1)), ns
+
+    def test_train_mode_values_and_ema(self):
+        conv_p, bn_p, state, x = self._mk(40)
+        got, ns_f = L.fused_stem(conv_p, bn_p, x, state=state, train=True)
+        want, ns_u = self._unfused(conv_p, bn_p, state, x, True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+        # the EMA must track the TRUE (sign-recovered) mean and var
+        for k in ("mean", "var"):
+            np.testing.assert_allclose(np.asarray(ns_f[k]),
+                                       np.asarray(ns_u[k]),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_eval_mode_uses_running_stats(self):
+        conv_p, bn_p, state, x = self._mk(41)
+        got, ns_f = L.fused_stem(conv_p, bn_p, x, state=state, train=False)
+        want, _ = self._unfused(conv_p, bn_p, state, x, False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+        assert ns_f is state  # eval must not touch the EMA
+
+    def test_backbone_track_mode_matches(self):
+        from dpc_tpu.models import resnet2d3d
+        key = jax.random.PRNGKey(5)
+        params, state = resnet2d3d.init_resnet2d3d(
+            key, "resnet18", track_running_stats=True)
+        x = _rand((1, 8, 32, 32, 3), seed=42)
+        for train in (True, False):
+            out_u, ns_u = resnet2d3d.apply_resnet2d3d(
+                params, state, x, network="resnet18", train=train,
+                stem_impl="unfused")
+            out_f, ns_f = resnet2d3d.apply_resnet2d3d(
+                params, state, x, network="resnet18", train=train,
+                stem_impl="fused")
+            np.testing.assert_allclose(np.asarray(out_f),
+                                       np.asarray(out_u),
+                                       rtol=0.05, atol=0.05)
+            np.testing.assert_allclose(
+                np.asarray(ns_f["stem"]["bn"]["mean"]),
+                np.asarray(ns_u["stem"]["bn"]["mean"]),
+                rtol=1e-4, atol=1e-5)
