@@ -334,27 +334,34 @@ def _rmp_sas_fwd(z):
     return _stem_pool_rw(z), z
 
 
+def _sas_add(source: jax.Array, operand: jax.Array) -> jax.Array:
+    """``select_and_scatter_add`` for the stem's 3×3/s2/p1 window: scatter
+    each window's ``source`` value to the FIRST in-window position
+    attaining the max of ``operand`` (``ge`` select) — exactly torch's
+    argmax-routed maxpool backward.  The one place the private jax
+    internal is touched (no public binding exists as of jax 0.9).
+    """
+    from jax._src.lax import windowed_reductions as _wr
+    return _wr._select_and_scatter_add(
+        source, operand, jax.lax.ge_p, (1, 1, 3, 3, 1), (1, 1, 2, 2, 1),
+        ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
+
+
 def _rmp_sas_bwd(z, g):
     """Max-pool gradient via XLA's native SelectAndScatter primitive.
 
-    ``select_and_scatter_add`` routes each window's cotangent to the FIRST
-    in-window position attaining the max (``ge`` select) — exactly torch's
-    argmax-routed maxpool backward, so ties behave like the reference
-    (single winner), unlike ``_rmp_bwd``'s split-to-all-equal routing.
-    Measured 1.6× faster than the equality route on the batch-64 stem
-    activation (16.3 vs 26.3 ms) and with far lower peak memory: the
-    equality route materialises four ×2-upsampled variants of (out, g)
-    (~4 × input bytes of HLO temps — the largest allocations in the
-    batch-128 OOM dump), while SelectAndScatter keeps everything windowed.
-    Only the *linearisation* of reduce_window-max lacks a shard_map rule;
-    binding the scatter primitive directly inside a custom VJP composes
-    fine (covered by tests).
+    First-max tie routing matches the reference (single winner), unlike
+    ``_rmp_bwd``'s split-to-all-equal routing.  Measured 1.6× faster than
+    the equality route on the batch-64 stem activation (16.3 vs 26.3 ms)
+    and with far lower peak memory: the equality route materialises four
+    ×2-upsampled variants of (out, g) (~4 × input bytes of HLO temps —
+    the largest allocations in the batch-128 OOM dump), while
+    SelectAndScatter keeps everything windowed.  Only the *linearisation*
+    of reduce_window-max lacks a shard_map rule; binding the scatter
+    primitive directly inside a custom VJP composes fine (covered by
+    tests).
     """
-    from jax._src.lax import windowed_reductions as _wr
-    a = jax.nn.relu(z)
-    dz = _wr._select_and_scatter_add(
-        g, a, jax.lax.ge_p, (1, 1, 3, 3, 1), (1, 1, 2, 2, 1),
-        ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
+    dz = _sas_add(g, jax.nn.relu(z))
     return (jnp.where(z > 0, dz, jnp.zeros((), dz.dtype)),)
 
 
@@ -378,11 +385,7 @@ def _mps_fwd(z):
 
 
 def _mps_bwd(z, g):
-    from jax._src.lax import windowed_reductions as _wr
-    dz = _wr._select_and_scatter_add(
-        g, z, jax.lax.ge_p, (1, 1, 3, 3, 1), (1, 1, 2, 2, 1),
-        ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
-    return (dz,)
+    return (_sas_add(g, z),)
 
 
 _maxpool_sas_raw.defvjp(_mps_fwd, _mps_bwd)
@@ -408,10 +411,13 @@ def fused_stem(conv_p: Params, bn_p: Params, x: jax.Array, *,
     monotone, ``maxpool(relu(s·a·x' + b)) = relu(s·a·maxpool(x') + b)``.
     The true stats are recovered from x': mean = s·mean(x'),
     var(x') = var(x).  ``s`` is never 0 (γ = 0 gets s = +1), so the γ = 0
-    channel keeps the exact unfused forward AND gradient — in particular
-    dL/dγ = Σ g·relu'·(x_sel − mean)·inv stays nonzero, which matters for
-    recovering pruned/imported channels (s is a boolean-derived constant;
-    no gradient flows through it).
+    channel keeps the exact unfused FORWARD, and its scale gradient
+    dL/dγ = Σ g·relu'·(x_sel − mean)·inv stays LIVE (nonzero), which
+    matters for recovering pruned/imported channels.  It is a valid
+    subgradient that may differ from the unfused form's: at γ = 0 the
+    pre-pool activation is constant, every window ties, and the two
+    formulations legitimately select different tie winners (s is a
+    boolean-derived constant; no gradient flows through it).
 
     BN modes mirror ``batchnorm`` exactly:
       * ``state is None`` (DPC pretrain, ``dpc/model_3d.py:28``): batch
@@ -456,7 +462,11 @@ def fused_stem(conv_p: Params, bn_p: Params, x: jax.Array, *,
         b = bn_p["bias"] - state["mean"] * (gamma * inv)
     pooled = _maxpool_sas_raw(xs)
     a_pos = sgn * gamma * inv                 # = |a|, but ∂/∂γ = s·inv ≠ 0
-    y = jax.nn.relu(pooled.astype(jnp.float32) * a_pos + b)
+    # promote, never downcast: f64 inputs keep f64 through the affine
+    # (batchnorm's rule, layers.py promote_types above)
+    y = jax.nn.relu(
+        pooled.astype(jnp.promote_types(pooled.dtype, jnp.float32))
+        * a_pos + b)
     return y.astype(xs.dtype), new_state
 
 

@@ -225,6 +225,9 @@ def apply_resnet2d3d(params: Params, state: Optional[Params], x: jax.Array, *,
     track = state is not None
     new_state: Params = {}
 
+    if stem_impl not in ("auto", "fused", "unfused"):
+        raise ValueError(f"unknown stem_impl {stem_impl!r} "
+                         "(expected auto | fused | unfused)")
     if stem_impl == "auto":
         stem_impl = ("fused" if jax.default_backend() == "tpu"
                      else "unfused")

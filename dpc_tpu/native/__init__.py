@@ -92,13 +92,7 @@ def decode_jpeg(data: bytes, target_hw: Optional[tuple[int, int]] = None
     """Decode (and optionally resize) one JPEG buffer → RGB uint8."""
     lib = _load()
     assert lib is not None, "native decoder unavailable"
-    if target_hw is None:
-        dims = np.zeros(2, np.int32)
-        if lib.dpc_jpeg_dims(data, len(data), dims) != 0:
-            raise ValueError("corrupt JPEG header")
-        th, tw = int(dims[0]), int(dims[1])
-    else:
-        th, tw = target_hw
+    th, tw = jpeg_dims(data) if target_hw is None else target_hw
     out = np.empty((th, tw, 3), np.uint8)
     if lib.dpc_jpeg_decode_resize(
             data, len(data), out,
