@@ -14,6 +14,7 @@ BatchNorm reproduces both PyTorch semantics the reference relies on:
 
 from __future__ import annotations
 
+import warnings
 from typing import Any, Optional
 
 import jax
@@ -167,6 +168,10 @@ def batchnorm(p: Params, state: Optional[Params], x: jax.Array, *,
         new_state = state
         if state is not None and train:
             count = float(np.prod([xf.shape[a] for a in reduce_axes]))
+            if axis_name is not None:
+                # cross-replica stats pool n_dev× the elements: Bessel
+                # correction must use the GLOBAL count
+                count *= jax.lax.axis_size(axis_name)
             unbiased = var * (count / max(count - 1.0, 1.0))
             new_state = {
                 "mean": (1 - momentum) * state["mean"] + momentum * mean,
@@ -347,6 +352,31 @@ def _sas_add(source: jax.Array, operand: jax.Array) -> jax.Array:
         ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
 
 
+def _probe_sas_available() -> bool:
+    """Abstractly evaluate the private ``_select_and_scatter_add`` binding
+    once at import: a jax upgrade that renames it or changes its signature
+    (it is jax._src internal, last verified on jax 0.9) then degrades the
+    stem to the public slice-chain paths with a warning instead of
+    breaking training at trace time.
+    """
+    try:
+        jax.eval_shape(
+            _sas_add,
+            jax.ShapeDtypeStruct((1, 1, 2, 2, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1, 4, 4, 1), jnp.float32))
+        return True
+    except Exception as e:  # noqa: BLE001 — any breakage means "fall back"
+        warnings.warn(
+            "jax private select_and_scatter_add binding unavailable "
+            f"({type(e).__name__}: {e}); stem max-pool falls back to the "
+            "slice-chain backward (slower, value-identical; gradient tie "
+            "routing per PARITY.md #9).")
+        return False
+
+
+_SAS_AVAILABLE = _probe_sas_available()
+
+
 def _rmp_sas_bwd(z, g):
     """Max-pool gradient via XLA's native SelectAndScatter primitive.
 
@@ -449,6 +479,8 @@ def fused_stem(conv_p: Params, bn_p: Params, x: jax.Array, *,
             var = jax.lax.pmean(var, axis_name)
         if state is not None and train:
             count = float(np.prod([xf.shape[a] for a in reduce_axes]))
+            if axis_name is not None:
+                count *= jax.lax.axis_size(axis_name)  # global Bessel count
             unbiased = var * (count / max(count - 1.0, 1.0))
             new_state = {
                 "mean": (1 - momentum) * state["mean"]
@@ -460,7 +492,8 @@ def fused_stem(conv_p: Params, bn_p: Params, x: jax.Array, *,
     else:  # eval with running stats: the affine is a constant
         inv = jax.lax.rsqrt(state["var"] + eps)
         b = bn_p["bias"] - state["mean"] * (gamma * inv)
-    pooled = _maxpool_sas_raw(xs)
+    pooled = (_maxpool_sas_raw(xs) if _SAS_AVAILABLE
+              else maxpool3d(xs, (1, 3, 3), (1, 2, 2), (0, 1, 1)))
     a_pos = sgn * gamma * inv                 # = |a|, but ∂/∂γ = s·inv ≠ 0
     # promote, never downcast: f64 inputs keep f64 through the affine
     # (batchnorm's rule, layers.py promote_types above)
@@ -490,8 +523,11 @@ def relu_maxpool_stem(x: jax.Array, impl: str = "auto") -> jax.Array:
       * "xla" (auto-default elsewhere) — the plain slice-chain form.
     """
     if impl == "auto":
-        impl = "sas" if jax.default_backend() == "tpu" else "xla"
+        impl = ("sas" if jax.default_backend() == "tpu" and _SAS_AVAILABLE
+                else "xla")
     if impl == "sas":
+        if not _SAS_AVAILABLE:  # fail soft (see _probe_sas_available)
+            return _stem_pool(x)
         return _relu_maxpool_sas(x)
     if impl == "eqroute":
         return _relu_maxpool_eq(x)

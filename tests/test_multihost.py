@@ -5,10 +5,20 @@ single-process 8-device run."""
 
 import json
 import os
+import socket
 import subprocess
 import sys
 
 import numpy as np
+
+
+def _free_port() -> str:
+    """Ephemeral coordinator port — a fixed constant can collide with a
+    stale worker or a parallel CI run and hang jax.distributed.initialize
+    until its 600 s timeout."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return str(s.getsockname()[1])
 
 WORKER = r"""
 import os, sys, json
@@ -52,7 +62,7 @@ def test_two_process_train_step_matches_single_process(tmp_path):
                PYTHONPATH="/root/repo:/root/.axon_site")
     script = tmp_path / "worker.py"
     script.write_text(WORKER)
-    port = "19863"
+    port = _free_port()
     procs = [subprocess.Popen(
         [sys.executable, str(script), str(i), port],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
@@ -124,7 +134,7 @@ def test_two_process_dense_test_matches_single_process(tmp_path):
     env = dict(os.environ, PYTHONPATH="/root/repo:/root/.axon_site")
     script = tmp_path / "test_worker.py"
     script.write_text(TEST_WORKER)
-    port = "19871"
+    port = _free_port()
     procs = [subprocess.Popen(
         [sys.executable, str(script), str(i), port,
          str(tmp_path / f"out{i}")],

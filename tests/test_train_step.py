@@ -167,6 +167,33 @@ def test_cross_replica_bn_matches_full_batch(mesh, setup):
     np.testing.assert_allclose(got, np.asarray(want), rtol=1e-5, atol=1e-6)
 
 
+def test_cross_replica_bn_ema_uses_global_count(mesh, setup):
+    """SyncBN running stats: the EMA's Bessel correction must use the
+    GLOBAL element count (n_dev × per-shard), so the sharded EMA equals
+    the full-batch single-device EMA exactly."""
+    from jax.sharding import PartitionSpec as P
+
+    from dpc_tpu.models import layers as L
+
+    params, state = L.init_batchnorm(8, track_running_stats=True)
+    x = np.asarray(jax.random.normal(jax.random.PRNGKey(5), (16, 4, 8)))
+
+    def device_bn(x):
+        _, new_state = L.batchnorm(params, state, x, train=True,
+                                   axis_name="data")
+        return new_state
+
+    sharded = jax.jit(jax.shard_map(
+        device_bn, mesh=mesh, in_specs=P("data"),
+        out_specs=P(), check_vma=False))
+    got = jax.tree.map(np.asarray, sharded(jnp.asarray(x)))
+    _, want = L.batchnorm(params, state, jnp.asarray(x), train=True)
+    np.testing.assert_allclose(got["var"], np.asarray(want["var"]),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(got["mean"], np.asarray(want["mean"]),
+                               rtol=1e-5, atol=1e-7)
+
+
 def test_eval_step_fused_nce_matches_xla(mesh, setup):
     """Validation must honor the NCE impl resolution: in the capacity
     regime the unfused global score cannot be materialised, so the eval
