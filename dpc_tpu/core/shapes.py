@@ -81,14 +81,23 @@ def sample_clip_start(rng: np.random.Generator, vlen: int, num_seq: int,
 
 
 def test_time_windows(vlen: int, num_seq: int, seq_len: int, downsample: int,
-                      window_stride: int) -> np.ndarray:
+                      window_stride: int,
+                      tail_window: bool = False) -> np.ndarray:
     """Dense test-time sampling: all frames at stride ``downsample``, chopped
     into non-overlapping seq_len blocks, then overlapping windows of
     ``num_seq`` blocks at ``window_stride`` blocks apart.
 
     Returns an int array ``[num_windows, num_seq, seq_len]`` of frame
     indices.  Reference: ``eval/dataset_3d_lc.py:76-78,109-125`` (UCF uses
-    window_stride=num_seq//2, HMDB 3*num_seq//4).
+    window_stride=num_seq//2, HMDB 3*num_seq//4).  The reference's window
+    starts are exactly ``range(0, num_blocks - num_seq + 1, stride)``
+    (``:124`` — no tail window), and the default reproduces that;
+    ``tail_window=True`` opts into also evaluating a final window flush
+    with the last block so trailing frames are never dropped (PARITY.md
+    #11).  The short-video pad path is only reachable when the caller
+    keeps videos shorter than one clip span (PARITY.md #10) — the
+    reference filters them out of every split (``eval/dataset_3d_lc.py:
+    61-67``).
     """
     all_idx = np.arange(0, vlen, downsample)
     num_blocks = len(all_idx) // seq_len
@@ -102,6 +111,6 @@ def test_time_windows(vlen: int, num_seq: int, seq_len: int, downsample: int,
         return np.concatenate([blocks, pad], axis=0)[None]
     blocks = all_idx[: num_blocks * seq_len].reshape(num_blocks, seq_len)
     starts = list(range(0, num_blocks - num_seq + 1, max(1, window_stride)))
-    if starts[-1] != num_blocks - num_seq:
+    if tail_window and starts[-1] != num_blocks - num_seq:
         starts.append(num_blocks - num_seq)
     return np.stack([blocks[s: s + num_seq] for s in starts])

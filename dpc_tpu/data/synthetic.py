@@ -24,7 +24,8 @@ class SyntheticVideoDataset:
                  frame_size: int = 150, num_seq: int = 8, seq_len: int = 5,
                  downsample: int = 3, mode: str = "train",
                  return_label: bool = False, num_classes: int = 8,
-                 window_stride: int | None = None, seed: int = 0):
+                 window_stride: int | None = None, seed: int = 0,
+                 tail_window: bool = False):
         self.transform = transform or Compose([Normalize()])
         self.num_videos = num_videos
         self.video_len = video_len
@@ -36,6 +37,7 @@ class SyntheticVideoDataset:
         self.return_label = return_label
         self.num_classes = num_classes
         self.window_stride = window_stride or max(1, num_seq // 2)
+        self.tail_window = tail_window
         self.seed = seed
         self.class_names = {i: f"motion_{i}" for i in range(num_classes)}
         assert video_len > shapes.clip_span(num_seq, seq_len, downsample)
@@ -81,7 +83,8 @@ class SyntheticVideoDataset:
         if self.mode == "test":
             windows = shapes.test_time_windows(
                 self.video_len, self.num_seq, self.seq_len,
-                self.downsample, self.window_stride)
+                self.downsample, self.window_stride,
+                tail_window=self.tail_window)
             nw = windows.shape[0]
             frames = self._render_frames(index, windows.reshape(-1))
             clip = self.transform(frames, rng)

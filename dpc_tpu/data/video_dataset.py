@@ -116,7 +116,9 @@ class FrameClipDataset:
                  window_stride: Optional[int] = None,
                  class_names: Optional[dict[int, str]] = None,
                  decode_size: Optional[tuple[int, int]] = None,
-                 decode_threads: int = 4):
+                 decode_threads: int = 4,
+                 keep_short_test: bool = False,
+                 tail_window: bool = False):
         self.transform = transform
         self.decode_size = decode_size
         self.decode_threads = decode_threads
@@ -127,8 +129,12 @@ class FrameClipDataset:
         self.return_label = return_label
         self.window_stride = window_stride or max(1, num_seq // 2)
         self.class_names = class_names or {}
+        self.tail_window = tail_window
         span = shapes.clip_span(num_seq, seq_len, downsample)
-        if mode == "test":
+        # the reference drops too-short videos from EVERY split, test
+        # included (eval/dataset_3d_lc.py:61-67); keep_short_test=True
+        # opts into evaluating them via a padded window (PARITY.md #10)
+        if mode == "test" and keep_short_test:
             self.records = [r for r in records if r.num_frames > 0]
         else:
             self.records = [r for r in records if r.num_frames > span]
@@ -190,7 +196,8 @@ class FrameClipDataset:
         if self.mode == "test":
             windows = shapes.test_time_windows(
                 record.num_frames, self.num_seq, self.seq_len,
-                self.downsample, self.window_stride)
+                self.downsample, self.window_stride,
+                tail_window=self.tail_window)
             nw = windows.shape[0]
             frames = self._load_frames(record, windows)
             clip = self.transform(frames, rng)
@@ -242,8 +249,9 @@ def make_dataset(dataset: str, data_root: str, mode: str,
                  downsample: int = 3, split: int = 1, big: bool = False,
                  return_label: bool = False, unit_test: bool = False,
                  val_subsample: float = 0.3,
-                 decode_size: Optional[tuple[int, int]] = None
-                 ) -> FrameClipDataset:
+                 decode_size: Optional[tuple[int, int]] = None,
+                 keep_short_test: bool = False,
+                 tail_window: bool = False) -> FrameClipDataset:
     """Factory covering ucf101 / hmdb51 / k400 split conventions.
 
     ucf101/hmdb51: ``{root}/{name}/{mode}_split{split:02d}.csv``
@@ -282,4 +290,6 @@ def make_dataset(dataset: str, data_root: str, mode: str,
                             seq_len=seq_len, downsample=downsample,
                             mode=mode, return_label=return_label,
                             window_stride=window_stride, class_names=names,
-                            decode_size=decode_size)
+                            decode_size=decode_size,
+                            keep_short_test=keep_short_test,
+                            tail_window=tail_window)

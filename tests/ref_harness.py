@@ -57,6 +57,31 @@ def ref_lc(sample_size: int, num_seq: int, seq_len: int, network: str,
               network=network, num_class=num_class, dropout=dropout).eval()
 
 
+def ref_dataset_modules():
+    """Import the reference dataset modules (``dpc/dataset_3d.py``,
+    ``eval/dataset_3d_lc.py``) with a torchvision stub.
+
+    The dataset classes themselves never call torchvision — it is only a
+    module-level import there and in ``utils/augmentation.py`` — but this
+    box has no torchvision wheel, so satisfy the import with empty module
+    objects.  Callers pass their own ``transform``.
+    """
+    import types
+
+    for name in ("torchvision", "torchvision.transforms",
+                 "torchvision.transforms.functional"):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            sys.modules[name] = mod
+            parent, _, child = name.rpartition(".")
+            if parent:
+                setattr(sys.modules[parent], child, mod)
+    import dataset_3d
+    import dataset_3d_lc
+
+    return dataset_3d, dataset_3d_lc
+
+
 def to_torch_video(x_ndhwc: np.ndarray) -> torch.Tensor:
     """[B, N, SL, H, W, C] (ours) → [B, N, C, SL, H, W] (reference)."""
     return torch.from_numpy(np.ascontiguousarray(
