@@ -104,6 +104,12 @@ class DataConfig:
     num_workers: int = 8
     worker_mode: str = "thread"  # "thread" | "process" (GIL-bound transforms)
     prefetch: int = 4
+    # test-split semantics: defaults reproduce the reference exactly
+    # (drop short videos everywhere, eval/dataset_3d_lc.py:61-67; window
+    # starts stride-only, :124).  The opt-ins evaluate short videos via a
+    # padded window / add a final tail window (PARITY.md #10, #11).
+    test_keep_short: bool = False
+    test_tail_window: bool = False
     # synthetic-dataset knobs (CI / smoke tests without real video data)
     synthetic_num_videos: int = 32
     synthetic_video_len: int = 256
@@ -167,6 +173,7 @@ class EvalConfig:
     # dense test with 4-corner+centre crops folded into the window axis
     # (the reference's dormant path, eval/dataset_3d_lc.py:98-107)
     five_crop: bool = False
+    remat: bool = False          # jax.checkpoint the LC forward to save HBM
 
 
 @dataclasses.dataclass(frozen=True)

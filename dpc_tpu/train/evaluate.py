@@ -35,7 +35,8 @@ from dpc_tpu.data.synthetic import SyntheticVideoDataset
 from dpc_tpu.data.video_dataset import make_dataset
 from dpc_tpu.models import lc
 from dpc_tpu.parallel import mesh as meshlib
-from dpc_tpu.train import finetune_step, optim
+from dpc_tpu.train import finetune_step, loop, optim
+from dpc_tpu.train.loop import PreemptionGuard
 from dpc_tpu.train.metrics import (AccuracyTable, ConfusionMeter,
                                    MetricBundle, denormalize, write_log)
 from dpc_tpu.utils import torch_compat
@@ -90,6 +91,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--steps_per_epoch", default=0, type=int)
     p.add_argument("--log_dir", default="log_eval")
     p.add_argument("--backbone_lr_scale", default=0.1, type=float)
+    p.add_argument("--remat", action="store_true",
+                   help="jax.checkpoint the LC forward (also the "
+                        "automatic HBM-OOM fallback)")
+    p.add_argument("--save_every_steps", default=0, type=int,
+                   help="mid-epoch checkpoint interval (0 = per-epoch "
+                        "only); resume continues from the exact batch — "
+                        "the reference finetune recipe is 300 epochs "
+                        "(eval/test.py:33), just as preemptible as "
+                        "pretraining")
+    p.add_argument("--test_keep_short", action="store_true",
+                   help="evaluate videos shorter than one clip span via a "
+                        "padded window instead of dropping them like the "
+                        "reference (PARITY.md #10)")
+    p.add_argument("--test_tail_window", action="store_true",
+                   help="append a final tail window so trailing frames are "
+                        "evaluated (the reference strides only, "
+                        "PARITY.md #11)")
     p.add_argument("--five_crop", action="store_true",
                    help="dense test with 4-corner+centre crops; crops "
                         "ride the window axis of the softmax average "
@@ -114,7 +132,9 @@ def config_from_args(args) -> ExperimentConfig:
                         synthetic_num_videos=args.synthetic_videos,
                         split=args.split, downsample=args.ds,
                         num_workers=args.num_workers,
-                        worker_mode=args.worker_mode),
+                        worker_mode=args.worker_mode,
+                        test_keep_short=args.test_keep_short,
+                        test_tail_window=args.test_tail_window),
         train=TrainConfig(batch_size=args.batch_size, seed=args.seed,
                           num_devices=args.num_devices,
                           print_freq=args.print_freq),
@@ -123,7 +143,7 @@ def config_from_args(args) -> ExperimentConfig:
                         epochs=args.epochs, batch_size=args.batch_size,
                         lr_milestones=milestones,
                         backbone_lr_scale=args.backbone_lr_scale,
-                        five_crop=args.five_crop),
+                        five_crop=args.five_crop, remat=args.remat),
     )
 
 
@@ -148,7 +168,8 @@ def get_dataset(cfg: ExperimentConfig, mode: str, unit_test: bool = False):
             frame_size=max(m.img_dim, 130), num_seq=m.num_seq,
             seq_len=m.seq_len, downsample=d.downsample, mode=mode,
             return_label=True, num_classes=NUM_CLASSES["synthetic"],
-            seed=2 if mode == "val" else (3 if mode == "test" else 0))
+            seed=2 if mode == "val" else (3 if mode == "test" else 0),
+            tail_window=d.test_tail_window)
     tf = augment.finetune_transform(
         m.img_dim, mode if mode in ("train", "val") else "test",
         five_crop=five)
@@ -156,7 +177,9 @@ def get_dataset(cfg: ExperimentConfig, mode: str, unit_test: bool = False):
                         num_seq=m.num_seq, seq_len=m.seq_len,
                         downsample=d.downsample, split=d.split,
                         return_label=True, unit_test=unit_test,
-                        val_subsample=d.val_subsample)
+                        val_subsample=d.val_subsample,
+                        keep_short_test=d.test_keep_short,
+                        tail_window=d.test_tail_window)
 
 
 def run_test(cfg: ExperimentConfig, params, bn_state, exp_dir: str,
@@ -430,8 +453,51 @@ def main(argv=None) -> None:
           f"({'frozen' if e.train_what == 'last' else
              f'lr x{e.backbone_lr_scale}'}); head at full lr")
 
+    # mid-epoch (step-level) checkpoints + preemption recovery: the
+    # reference finetune recipe is 300 epochs (eval/test.py:33), just as
+    # preemptible as pretraining (SURVEY §5 "failure detection")
+    step_mgr = ckpt.make_manager(os.path.join(exp_dir, "model_steps"),
+                                 keep_best=False) \
+        if args.save_every_steps else None
+    start_batch = 0
+    if args.resume and step_mgr is not None:
+        host = jax.device_get(state)
+        template = {"params": host.params, "bn_state": host.state,
+                    "opt_state": host.opt_state, "step": host.step,
+                    "epoch": 0, "batch_idx": 0, "best_acc": 0.0}
+        gstep, payload = ckpt.restore_latest(step_mgr, template)
+        if gstep is not None and int(payload["epoch"]) >= start_epoch:
+            state = finetune_step.FinetuneState(
+                payload["params"], payload["bn_state"],
+                payload["opt_state"], payload["step"])
+            start_epoch = int(payload["epoch"])
+            start_batch = int(payload["batch_idx"]) + 1
+            best_acc = float(payload["best_acc"])
+            print(f"resumed mid-epoch: epoch {start_epoch} "
+                  f"batch {start_batch}")
+
     state = meshlib.replicate(mesh, state)
     step_fn = finetune_step.make_finetune_step(m, e, mesh, tx)
+
+    # pre-compile; on HBM OOM rebuild the step with rematerialization
+    # (recompute activations in the backward) — same fallback as pretrain
+    if not e.remat:
+        bshape = jax.ShapeDtypeStruct(
+            (cfg.train.batch_size, m.num_seq, m.seq_len, m.img_dim,
+             m.img_dim, 3), jnp.float32)
+        lshape = jax.ShapeDtypeStruct((cfg.train.batch_size,), jnp.int32)
+        try:
+            step_fn.lower(state, bshape, lshape, jax.random.PRNGKey(0),
+                          jnp.float32(1.0)).compile()
+        except Exception as exc:
+            if not loop.is_oom(exc):
+                raise
+            print("[memory] finetune step does not fit HBM; retrying "
+                  "with rematerialization (--remat)")
+            import dataclasses as _dc
+
+            e = _dc.replace(e, remat=True)
+            step_fn = finetune_step.make_finetune_step(m, e, mesh, tx)
     eval_fn = finetune_step.make_finetune_eval_step(m, e, mesh)
 
     writer_train = writer_val = None
@@ -461,6 +527,7 @@ def main(argv=None) -> None:
     print(f"train videos: {len(train_loader.dataset)}; "
           f"val videos: {len(val_loader.dataset)}")
 
+    guard = PreemptionGuard().install() if step_mgr else None
     for epoch in range(start_epoch, e.epochs):
         train_loader.set_epoch(epoch)
         val_loader.set_epoch(epoch)
@@ -468,39 +535,55 @@ def main(argv=None) -> None:
             epoch, 1.0, e.lr_milestones, e.lr_gamma, e.lr_repeat)
         ekey = jax.random.fold_in(jax.random.PRNGKey(cfg.train.seed), epoch)
         meters, vmeters = MetricBundle(), MetricBundle()
-        for idx, (clips, labels) in enumerate(train_loader):
-            if args.steps_per_epoch and idx >= args.steps_per_epoch:
-                break
-            # denormalised input grid once per run, captured from the
-            # batch already in hand (eval/test.py:232-238) — a separate
-            # `next(iter(loader))` would spin up a throwaway prefetching
-            # iterator and decode prefetch_batches for one image
-            if (writer_train is not None and epoch == start_epoch
-                    and idx == 0):
-                grid = denormalize(
-                    clips.reshape(-1, *clips.shape[-3:])[:16])
-                writer_train.add_images("input_seq", grid, epoch,
-                                        dataformats="NHWC")
+
+        # denormalised input grid once per run, captured from the batch
+        # already in hand (eval/test.py:232-238) — a separate
+        # `next(iter(loader))` would spin up a throwaway prefetching
+        # iterator and decode prefetch_batches for one image
+        def log_input_grid(batch):
+            clips = batch[0]
+            grid = denormalize(clips.reshape(-1, *clips.shape[-3:])[:16])
+            writer_train.add_images("input_seq", grid, epoch,
+                                    dataformats="NHWC")
+
+        grid_fn = (log_input_grid if writer_train is not None
+                   and epoch == start_epoch else None)
+
+        def dispatch_train(idx, batch):
+            nonlocal state
+            clips, labels = batch
             xb = meshlib.shard_batch(mesh, jnp.asarray(clips))
             yb = meshlib.shard_batch(mesh, jnp.asarray(labels))
             state, metrics = step_fn(state, xb, yb, ekey,
                                      jnp.float32(lr_scale))
-            metrics = {k: float(v) for k, v in metrics.items()}
-            meters.update(metrics, n=clips.shape[0])
-            if idx % cfg.train.print_freq == 0:
-                print(f"[train] epoch {epoch} [{idx}/{len(train_loader)}] "
-                      + " ".join(f"{k} {v:.4f}"
-                                 for k, v in metrics.items())
-                      + f" lr×{lr_scale:g}")
-        for idx, (clips, labels) in enumerate(val_loader):
-            if args.steps_per_epoch and idx >= args.steps_per_epoch:
-                break
-            metrics = eval_fn(state.params, state.state,
-                              meshlib.shard_batch(mesh, jnp.asarray(clips)),
-                              meshlib.shard_batch(mesh,
-                                                  jnp.asarray(labels)))
-            vmeters.update({k: float(v) for k, v in metrics.items()},
-                           n=clips.shape[0])
+            return metrics
+
+        def save_mid_epoch(ep, batch_idx):
+            host = jax.device_get(state)
+            ckpt.save(step_mgr, batch_idx + ep * 100000,
+                      {"params": host.params, "bn_state": host.state,
+                       "opt_state": host.opt_state, "step": host.step,
+                       "epoch": ep, "batch_idx": batch_idx,
+                       "best_acc": best_acc})
+
+        loop.run_epoch(
+            dispatch_train, train_loader, meters, mode="train",
+            print_freq=cfg.train.print_freq, epoch=epoch,
+            max_steps=args.steps_per_epoch,
+            start_batch=start_batch if epoch == start_epoch else 0,
+            step_save_fn=save_mid_epoch if step_mgr else None,
+            save_every_steps=args.save_every_steps, guard=guard,
+            first_batch_fn=grid_fn)
+
+        def dispatch_val(idx, batch):
+            clips, labels = batch
+            return eval_fn(state.params, state.state,
+                           meshlib.shard_batch(mesh, jnp.asarray(clips)),
+                           meshlib.shard_batch(mesh, jnp.asarray(labels)))
+
+        loop.run_epoch(dispatch_val, val_loader, vmeters, mode="val",
+                       print_freq=cfg.train.print_freq, epoch=epoch,
+                       max_steps=args.steps_per_epoch, train=False)
         tr, va = meters.averages(), vmeters.averages()
         print(f"epoch {epoch}: train top1 {tr.get('top1', 0):.4f} | "
               f"val top1 {va.get('top1', 0):.4f}")

@@ -48,11 +48,21 @@ def make_finetune_step(model_cfg: DPCConfig, eval_cfg: EvalConfig, mesh,
     """
     dtype = dtype_of(model_cfg.compute_dtype)
 
-    def loss_fn(params, bn_state, batch, labels, key):
-        logits, _, new_bn = lc.apply_lc(
+    def fwd(params, bn_state, batch, key):
+        return lc.apply_lc(
             params, bn_state, batch, cfg=model_cfg,
             num_classes=eval_cfg.num_classes, dropout=eval_cfg.dropout,
             train=True, key=key, dtype=dtype)
+
+    if eval_cfg.remat:
+        # recompute activations in the backward instead of dying on HBM
+        # OOM — same fallback the pretrain driver uses
+        fwd = jax.checkpoint(
+            fwd,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+
+    def loss_fn(params, bn_state, batch, labels, key):
+        logits, _, new_bn = fwd(params, bn_state, batch, key)
         logits = logits[:, 0, :]
         loss = softmax_xent(logits, labels)
         metrics = {"loss": loss,

@@ -1,0 +1,121 @@
+"""Shared epoch-loop runtime for the pretrain and finetune drivers.
+
+The reference hot loops (``dpc/main.py:187-246``, ``eval/test.py:218-277``)
+fetch every metric scalar eagerly, blocking the device each step.  Here
+metrics stay on device until the NEXT step has been dispatched (a one-deep
+drain, the same pipeline ``evaluate.run_test`` uses for dense testing), so
+the host↔device round-trip overlaps the running step and the device never
+idles between steps.  Also home to the driver resilience shared by both
+loops: SIGTERM/SIGINT preemption guard and the HBM-OOM detector behind
+the remat fallback.
+"""
+
+from __future__ import annotations
+
+import math
+import signal
+import time
+
+
+class PreemptionGuard:
+    """SIGTERM/SIGINT → finish the current step, checkpoint, exit cleanly.
+
+    TPU VMs are routinely preempted; the reference would lose everything
+    since its last epoch boundary.  Installed by the drivers when
+    mid-epoch checkpointing is enabled.
+    """
+
+    def __init__(self):
+        self.requested = False
+        self._prev = {}
+
+    def install(self):
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            self._prev[sig] = signal.signal(sig, self._handler)
+        return self
+
+    def _handler(self, signum, frame):
+        print(f"[preemption] signal {signum} received; will checkpoint "
+              "after the current step")
+        self.requested = True
+
+    def uninstall(self):
+        for sig, prev in self._prev.items():
+            signal.signal(sig, prev)
+
+
+def is_oom(exc: Exception) -> bool:
+    """True when a compile/execute failure is an HBM capacity failure —
+    the case the drivers recover from by rebuilding the step with
+    rematerialization instead of dying."""
+    msg = str(exc)
+    return "Ran out of memory" in msg or "RESOURCE_EXHAUSTED" in msg
+
+
+def _rows_of(batch) -> int:
+    if isinstance(batch, (tuple, list)):
+        batch = batch[0]
+    return batch.shape[0]
+
+
+def run_epoch(dispatch, loader, meters, *, mode: str = "train",
+              print_freq: int = 5, epoch: int = 0, print_fn=None,
+              max_steps: int = 0, start_batch: int = 0,
+              step_save_fn=None, save_every_steps: int = 0,
+              guard=None, first_batch_fn=None, train: bool = True):
+    """Drive one epoch, pipelined one step deep.
+
+    ``dispatch(idx, batch)`` shards + dispatches step ``idx`` and returns
+    its on-device metrics dict (closing over any state it mutates).
+    Metrics are fetched only after the FOLLOWING step is in flight;
+    finite-checking and printing therefore lag the dispatched step by
+    one.  ``print_fn(idx, metrics)``, when given, is called for every
+    drained step at ``print_freq`` cadence after the default progress
+    line (tensorboard hooks).  Returns the number of steps run.
+    """
+    tic = time.time()
+    it = loader.iterate(start_batch) if hasattr(loader, "iterate") \
+        else iter(loader)
+    pending = None  # (idx, device_metrics, batch_rows)
+    steps = 0
+
+    def drain(entry):
+        nonlocal tic
+        p_idx, dev_metrics, rows = entry
+        metrics = {k: float(v) for k, v in dev_metrics.items()}
+        if not math.isfinite(metrics.get("loss", 0.0)):
+            raise FloatingPointError(
+                f"non-finite loss at epoch {epoch} step {p_idx}: "
+                f"{metrics} — rerun with --debug_nans to locate the op")
+        meters.update(metrics, n=rows)
+        if p_idx % print_freq == 0:
+            dt = time.time() - tic
+            tic = time.time()
+            print(f"[{mode}] epoch {epoch} [{p_idx}/{len(loader)}] "
+                  + " ".join(f"{k} {v:.4f}" for k, v in metrics.items())
+                  + f" ({dt:.2f}s)")
+            if print_fn is not None:
+                print_fn(p_idx, metrics)
+
+    for idx, batch in enumerate(it, start=start_batch):
+        if max_steps and idx >= max_steps:
+            break
+        if first_batch_fn is not None:
+            first_batch_fn(batch)
+            first_batch_fn = None
+        metrics = dispatch(idx, batch)
+        steps += 1
+        if pending is not None:
+            drain(pending)
+        pending = (idx, metrics, _rows_of(batch))
+        preempted = guard is not None and guard.requested
+        if (train and step_save_fn is not None
+                and (preempted or (save_every_steps
+                                   and (idx + 1) % save_every_steps == 0))):
+            step_save_fn(epoch, idx)
+        if preempted:
+            drain(pending)
+            raise SystemExit("[preemption] checkpointed and exiting")
+    if pending is not None:
+        drain(pending)
+    return steps

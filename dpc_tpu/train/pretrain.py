@@ -18,10 +18,7 @@ Usage examples:
 from __future__ import annotations
 
 import argparse
-import math
 import os
-import signal
-import time
 
 import jax
 import jax.numpy as jnp
@@ -35,7 +32,8 @@ from dpc_tpu.data.loader import ClipLoader
 from dpc_tpu.data.synthetic import SyntheticVideoDataset
 from dpc_tpu.data.video_dataset import make_dataset
 from dpc_tpu.parallel import mesh as meshlib
-from dpc_tpu.train import optim, pretrain_step
+from dpc_tpu.train import loop, optim, pretrain_step
+from dpc_tpu.train.loop import PreemptionGuard
 from dpc_tpu.train.metrics import MetricBundle, denormalize
 from dpc_tpu.utils import torch_compat
 
@@ -206,84 +204,51 @@ def get_dataset(cfg: ExperimentConfig, mode: str, unit_test: bool = False):
                         val_subsample=d.val_subsample)
 
 
-class PreemptionGuard:
-    """SIGTERM/SIGINT → finish the current step, checkpoint, exit cleanly.
-
-    TPU VMs are routinely preempted; the reference would lose everything
-    since its last epoch boundary.  Installed by the pretrain driver when
-    mid-epoch checkpointing is enabled.
-    """
-
-    def __init__(self):
-        self.requested = False
-        self._prev = {}
-
-    def install(self):
-        for sig in (signal.SIGTERM, signal.SIGINT):
-            self._prev[sig] = signal.signal(sig, self._handler)
-        return self
-
-    def _handler(self, signum, frame):
-        print(f"[preemption] signal {signum} received; will checkpoint "
-              "after the current step")
-        self.requested = True
-
-    def uninstall(self):
-        for sig, prev in self._prev.items():
-            signal.signal(sig, prev)
-
-
 def run_epoch(step_fn, state, loader, mesh, key, *, train: bool,
               eval_fn=None, params_for_eval=None, print_freq: int = 5,
               epoch: int = 0, writer=None, iteration: int = 0,
               max_steps: int = 0, start_batch: int = 0,
               step_save_fn=None, save_every_steps: int = 0,
               guard=None, first_batch_fn=None):
+    """One epoch over ``loader`` (the reference hot loop,
+    ``dpc/main.py:187-246``), pipelined one step deep by the shared
+    ``loop.run_epoch`` drain: metrics stay on device until the NEXT step
+    has been dispatched, so the host never blocks the device between
+    steps (converting them eagerly would round-trip the tunnel/PCIe
+    every iteration).
+    """
     meters = MetricBundle()
-    tic = time.time()
-    it = loader.iterate(start_batch) if hasattr(loader, "iterate") \
-        else iter(loader)
-    for idx, batch in enumerate(it, start=start_batch):
-        if max_steps and idx >= max_steps:
-            break
-        if first_batch_fn is not None:
-            first_batch_fn(batch)
-            first_batch_fn = None
+    box = {"state": state, "iteration": iteration}
+
+    def dispatch(idx, batch):
         xb = meshlib.shard_batch(mesh, jnp.asarray(batch))
         if train:
-            state, metrics = step_fn(state, xb, key)
-        else:
-            metrics = eval_fn(params_for_eval, xb,
-                              jax.random.fold_in(key, idx))
-        metrics = {k: float(v) for k, v in metrics.items()}
-        if not math.isfinite(metrics.get("loss", 0.0)):
-            raise FloatingPointError(
-                f"non-finite loss at epoch {epoch} step {idx}: "
-                f"{metrics} — rerun with --debug_nans to locate the op")
-        meters.update(metrics, n=batch.shape[0])
-        if idx % print_freq == 0:
-            dt = time.time() - tic
-            tic = time.time()
-            mode = "train" if train else "val"
-            print(f"[{mode}] epoch {epoch} [{idx}/{len(loader)}] "
-                  + " ".join(f"{k} {v:.4f}" for k, v in metrics.items())
-                  + f" ({dt:.2f}s)")
-            if writer is not None and train:
-                writer.add_scalar("local/loss", metrics["loss"], iteration)
-                writer.add_scalar("local/accuracy", metrics["top1"],
-                                  iteration)
-                iteration += 1
-        preempted = guard is not None and guard.requested
-        if (train and step_save_fn is not None
-                and (preempted or (save_every_steps
-                                   and (idx + 1) % save_every_steps == 0))):
-            # pass the LIVE iteration counter: the caller's copy only
-            # advances when this function returns, and persisting a stale
-            # value rewinds the TB scalar axis on mid-epoch resume
-            step_save_fn(state, epoch, idx, iteration)
-        if preempted:
-            raise SystemExit("[preemption] checkpointed and exiting")
-    return state, meters, iteration
+            box["state"], metrics = step_fn(box["state"], xb, key)
+            return metrics
+        return eval_fn(params_for_eval, xb, jax.random.fold_in(key, idx))
+
+    def print_fn(idx, metrics):
+        if writer is not None and train:
+            writer.add_scalar("local/loss", metrics["loss"],
+                              box["iteration"])
+            writer.add_scalar("local/accuracy", metrics["top1"],
+                              box["iteration"])
+            box["iteration"] += 1
+
+    def save_fn(ep, batch_idx):
+        # pass the LIVE state/iteration: the caller's copies only advance
+        # when this function returns, and persisting a stale iteration
+        # rewinds the TB scalar axis on mid-epoch resume
+        step_save_fn(box["state"], ep, batch_idx, box["iteration"])
+
+    loop.run_epoch(dispatch, loader, meters,
+                   mode="train" if train else "val",
+                   print_freq=print_freq, epoch=epoch, print_fn=print_fn,
+                   max_steps=max_steps, start_batch=start_batch,
+                   step_save_fn=save_fn if step_save_fn else None,
+                   save_every_steps=save_every_steps, guard=guard,
+                   first_batch_fn=first_batch_fn, train=train)
+    return box["state"], meters, box["iteration"]
 
 
 def main(argv=None) -> None:
@@ -390,7 +355,7 @@ def main(argv=None) -> None:
             step_fn.lower(state, bshape,
                           jax.random.PRNGKey(0)).compile()
         except Exception as exc:
-            if "Ran out of memory" not in str(exc) and                     "RESOURCE_EXHAUSTED" not in str(exc):
+            if not loop.is_oom(exc):
                 raise
             print("[memory] step does not fit HBM; retrying with "
                   "rematerialization (--remat)")
