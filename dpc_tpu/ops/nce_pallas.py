@@ -347,6 +347,48 @@ def _bwd(r_tile, c_tile, ks, res, grads):
 nce_lse_rank.defvjp(_fwd, _bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def nce_lse_rank_shard(rows: jax.Array, cols: jax.Array, pos: jax.Array,
+                       targets: jax.Array, r_tile: int = 256,
+                       c_tile: int = 512):
+    """Per-candidate-shard flash statistics for the model-parallel NCE.
+
+    Like ``nce_lse_rank`` but over a SLICE of the candidate pool: ``pos``
+    (the true positive logit, owned by exactly one model-peer and already
+    broadcast) is passed in rather than derived, and ``targets`` holds the
+    LOCAL column index of the positive on its owner shard and ``-1``
+    elsewhere (so only the owner excludes it from the rank count).
+    Returns ``(lse_local, rank_local)``; the caller combines
+    ``logsumexp_s(lse_local)`` and ``psum(rank_local)`` across the model
+    axis (``ops/sharded_nce.py``).
+
+    The backward uses the LOCAL lse with the incoming cotangent: for
+    ``L = f(logsumexp_s lse_s)`` the chain
+    ``∂lse_s/∂score_ij · ∂L/∂lse_s = e^{s_ij−lse_s} · e^{lse_s−LSE}·∂L/∂LSE
+    = e^{s_ij−LSE}·∂L/∂LSE`` is exactly the global softmax — the combine
+    composes with plain AD, no cross-shard state in the kernel.
+    """
+    lse, rank = _nce_forward(rows, cols, pos, targets, r_tile, c_tile)
+    return lse, rank
+
+
+def _shard_fwd(rows, cols, pos, targets, r_tile, c_tile):
+    lse, rank = _nce_forward(rows, cols, pos, targets, r_tile, c_tile)
+    return (lse, rank), (rows, cols, lse)
+
+
+def _shard_bwd(r_tile, c_tile, res, grads):
+    rows, cols, lse = res
+    g_lse, _ = grads  # rank is an integer-valued metric: no gradient
+    drows, dcols = _nce_backward(rows, cols, lse, g_lse, r_tile, c_tile)
+    # pos enters only the (non-differentiable) rank count here; its loss
+    # term is a plain-JAX gather outside the kernel, handled by AD there
+    return drows, dcols, jnp.zeros_like(lse), None
+
+
+nce_lse_rank_shard.defvjp(_shard_fwd, _shard_bwd)
+
+
 def fused_nce_loss(pred: jax.Array, gt: jax.Array,
                    targets: jax.Array | None = None,
                    ks: tuple[int, ...] = (1, 3, 5),

@@ -44,21 +44,27 @@ class TrainState(NamedTuple):
 
 
 def resolve_nce_impl(train_cfg: TrainConfig, model_cfg: DPCConfig,
-                     n_data: int) -> str:
+                     n_data: int, n_model: int = 1) -> str:
     """Resolve the NCE implementation for this step's static shapes.
 
     'auto' (the default) picks by projected score-matrix bytes
     (``ops.nce.pick_nce_impl``): the XLA matmul+softmax path whenever the
-    score fits HBM, the flash Pallas kernel in the capacity regime.  The
+    score fits HBM, the flash Pallas kernel in the capacity regime.  With
+    a model axis the candidate pool is sharded ``n_model`` ways, so the
+    heuristic applies to the per-shard ``[R_local, C/m]`` tile.  The
     deprecated ``fused_nce`` bool forces 'fused'.
     """
     impl = "fused" if train_cfg.fused_nce else train_cfg.nce_impl
+    if impl not in ("auto", "xla", "fused"):
+        raise ValueError(
+            f"nce_impl must be one of 'auto'|'xla'|'fused', got {impl!r}")
     if impl != "auto":
         return impl
     rows = (train_cfg.batch_size // n_data) * model_cfg.pred_step * model_cfg.sq
     cols_b = (train_cfg.batch_size if train_cfg.negatives == "global"
               else train_cfg.batch_size // n_data)
-    return nce.pick_nce_impl(rows, cols_b * model_cfg.pred_step * model_cfg.sq)
+    cols = cols_b * model_cfg.pred_step * model_cfg.sq // n_model
+    return nce.pick_nce_impl(rows, cols)
 
 
 def _global_score_and_targets(pred: jax.Array, gt: jax.Array,
@@ -95,7 +101,8 @@ def make_pretrain_step(model_cfg: DPCConfig, train_cfg: TrainConfig,
         local_b, model_cfg.pred_step, model_cfg.sq))
     bn_axis = DATA_AXIS if train_cfg.cross_replica_bn else None
     grad_axes = (DATA_AXIS, MODEL_AXIS) if n_model > 1 else DATA_AXIS
-    use_fused = resolve_nce_impl(train_cfg, model_cfg, n_data) == "fused"
+    nce_impl = resolve_nce_impl(train_cfg, model_cfg, n_data, n_model)
+    use_fused = nce_impl == "fused"
     if n_model > 1 and train_cfg.negatives != "global":
         # every model-axis peer would run the identical replicated compute:
         # n_model× the chips for 1× the throughput, silently
@@ -115,10 +122,11 @@ def make_pretrain_step(model_cfg: DPCConfig, train_cfg: TrainConfig,
         score, pred, gt = fwd(params, batch, key)
         if train_cfg.negatives == "global" and n_model > 1:
             # tensor/sequence-parallel scoring: candidate axis sharded
-            # over 'model', sharded-softmax combine (ops/sharded_nce.py)
+            # over 'model', sharded-softmax combine (ops/sharded_nce.py);
+            # the resolved impl picks XLA or flash for the per-shard tile
             return sharded_nce.sharded_nce_loss(
                 pred.astype(jnp.float32), gt.astype(jnp.float32),
-                data_axis=DATA_AXIS, model_axis=MODEL_AXIS)
+                data_axis=DATA_AXIS, model_axis=MODEL_AXIS, impl=nce_impl)
         if train_cfg.negatives == "global" and n_data > 1:
             if use_fused:
                 gt_all = jax.lax.all_gather(gt.astype(jnp.float32),
@@ -176,7 +184,8 @@ def make_eval_step(model_cfg: DPCConfig, train_cfg: TrainConfig, mesh):
     # same impl resolution as the train step: in the capacity regime the
     # unfused global score matrix does not fit HBM, and validation must
     # not OOM a run whose training epochs succeed
-    use_fused = resolve_nce_impl(train_cfg, model_cfg, n_data) == "fused"
+    nce_impl = resolve_nce_impl(train_cfg, model_cfg, n_data, n_model)
+    use_fused = nce_impl == "fused"
 
     def device_step(params, batch, key):
         if train_cfg.device_augment:
@@ -192,7 +201,7 @@ def make_eval_step(model_cfg: DPCConfig, train_cfg: TrainConfig, mesh):
             # it (round-1 recomputed the full global score per peer)
             loss, metrics = sharded_nce.sharded_nce_loss(
                 pred.astype(jnp.float32), gt.astype(jnp.float32),
-                data_axis=DATA_AXIS, model_axis=MODEL_AXIS)
+                data_axis=DATA_AXIS, model_axis=MODEL_AXIS, impl=nce_impl)
             return jax.lax.pmean({"loss": loss, **metrics}, DATA_AXIS)
         if train_cfg.negatives == "global" and n_data > 1:
             if use_fused:
