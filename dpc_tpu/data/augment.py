@@ -478,6 +478,52 @@ class Normalize:
 # Canonical recipes (dpc/main.py:115-133, eval/test.py:121-126,161-176)
 # ---------------------------------------------------------------------------
 
+class HostScaleCrop:
+    """The host half of the ``--device_augment`` split pipeline —
+    ``Scale(short)`` → ``PadTo(win)`` → ``RandomCrop(win, consistent)`` —
+    expressed as ONE op the native JPEG decoder can execute inside the
+    entropy decode (``native.decode_jpeg_batch_scale_crop``: DCT-domain
+    scaling + ``jpeg_crop_scanline``/``jpeg_skip_scanlines`` ROI decode,
+    so only the pixels feeding the window are ever IDCT'd).
+
+    :meth:`plan` returns the (short_side, crop) the decoder needs, drawing
+    the window with the same rng calls as ``RandomCrop`` (x then y), or
+    ``None`` when the scaled frame is smaller than the window (portrait
+    sources needing reflect-pad — the numpy fallback handles those).  The
+    ``__call__`` fallback runs the same geometry on decoded frames
+    (bilinear scale, matching the native path's resampler).
+    """
+
+    def __init__(self, short: int, win_hw: tuple[int, int]):
+        self.short = short
+        self.win_h, self.win_w = win_hw
+        self._scale = Scale(short, interpolation="bilinear")
+        self._pad = PadTo(*win_hw)
+        self._crop = RandomCrop(win_hw, consistent=True)
+
+    def scaled_dims(self, h: int, w: int) -> tuple[int, int]:
+        s = self.short
+        if (w <= h and w == s) or (h <= w and h == s):
+            return h, w
+        if w < h:
+            return int(s * h / w), s
+        return s, int(s * w / h)
+
+    def plan(self, src_hw: tuple[int, int], rng
+             ) -> "tuple[int, tuple[int, int, int, int]] | None":
+        oh, ow = self.scaled_dims(*src_hw)
+        if oh < self.win_h or ow < self.win_w:
+            return None  # needs padding: numpy fallback
+        x1 = int(rng.integers(0, ow - self.win_w + 1))
+        y1 = int(rng.integers(0, oh - self.win_h + 1))
+        return self.short, (y1, x1, self.win_h, self.win_w)
+
+    def __call__(self, clip, rng):
+        clip = self._scale(clip, rng)
+        clip = self._pad(clip, rng)
+        return self._crop(clip, rng)
+
+
 def pretrain_transform(dataset: str, img_dim: int) -> Compose:
     if dataset in ("ucf101", "hmdb51", "synthetic"):
         return Compose([

@@ -214,11 +214,50 @@ class FrameClipDataset:
         assert start is not None, record.path
         indices = shapes.clip_block_indices(start, self.num_seq,
                                             self.seq_len, self.downsample)
-        frames = self._load_frames(record, indices)
-        clip = self.transform(frames, rng)
+        clip = None
+        if hasattr(self.transform, "plan"):
+            clip = self._load_frames_planned(record, indices, rng)
+        if clip is None:
+            frames = self._load_frames(record, indices)
+            clip = self.transform(frames, rng)
         h, w, c = clip.shape[-3:]
         clip = clip.reshape(self.num_seq, self.seq_len, h, w, c)
         return (clip, record.label) if self.return_label else clip
+
+    def _load_frames_planned(self, record: VideoRecord,
+                             indices: np.ndarray, rng
+                             ) -> "np.ndarray | None":
+        """Execute a plan-capable geometry transform (augment.HostScaleCrop)
+        INSIDE the native batch decode: short-side scale + the consistent
+        crop window happen in the entropy decoder, so the host transform
+        is gone entirely.  Returns None to fall back to the full
+        decode + numpy path (native unavailable, non-JPEG payloads,
+        portrait frames needing padding) — the fallback consumes fresh
+        rng draws, which is fine: any consistent window is a valid
+        sample."""
+        from dpc_tpu import native
+
+        if not native.available():
+            return None
+        try:
+            flat = np.minimum(indices.reshape(-1), record.num_frames - 1)
+            buffers = []
+            for i in flat:
+                with open(self._frame_path(record, int(i)), "rb") as f:
+                    buffers.append(f.read())
+            # frames of one video share dims (extraction contract)
+            src_hw = native.jpeg_dims(buffers[0])
+            plan = self.transform.plan(src_hw, rng)
+            if plan is None:
+                return None
+            short, crop = plan
+            out, failures = native.decode_jpeg_batch_scale_crop(
+                buffers, short, crop, threads=self.decode_threads)
+            if failures:
+                return None  # corrupt frame: retry via cv2/PIL chain
+            return out
+        except (ValueError, OSError):
+            return None
 
 
 def _subsample(records: list[VideoRecord], frac: float,

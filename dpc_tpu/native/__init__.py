@@ -69,6 +69,19 @@ def _load() -> Optional[ctypes.CDLL]:
             np.ctypeslib.ndpointer(np.uint8), ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int]
         lib.dpc_jpeg_decode_batch.restype = ctypes.c_int
+        lib.dpc_jpeg_decode_scale_crop.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.uint8), ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32]
+        lib.dpc_jpeg_decode_scale_crop.restype = ctypes.c_int
+        lib.dpc_jpeg_decode_batch_scale_crop.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            np.ctypeslib.ndpointer(np.int64), ctypes.c_int,
+            np.ctypeslib.ndpointer(np.uint8), ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int]
+        lib.dpc_jpeg_decode_batch_scale_crop.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -121,3 +134,41 @@ def decode_file(path: str, target_hw: Optional[tuple[int, int]] = None
                 ) -> np.ndarray:
     with open(path, "rb") as f:
         return decode_jpeg(f.read(), target_hw)
+
+
+def decode_jpeg_scale_crop(data: bytes, short_side: int,
+                           crop_yxhw: tuple[int, int, int, int]
+                           ) -> np.ndarray:
+    """Aspect-preserving short-side scale + ROI crop, fused into the
+    decode (only the source region feeding the crop is IDCT'd).  Raises
+    ValueError on corrupt input or a crop outside the scaled image —
+    callers fall back to the full-decode path."""
+    lib = _load()
+    assert lib is not None, "native decoder unavailable"
+    cy, cx, ch, cw = crop_yxhw
+    out = np.empty((ch, cw, 3), np.uint8)
+    rc = lib.dpc_jpeg_decode_scale_crop(data, len(data), out, short_side,
+                                        cy, cx, ch, cw)
+    if rc != 0:
+        raise ValueError("scale_crop decode failed" if rc == 1
+                         else "crop outside scaled image")
+    return out
+
+
+def decode_jpeg_batch_scale_crop(buffers: Sequence[bytes], short_side: int,
+                                 crop_yxhw: tuple[int, int, int, int],
+                                 threads: int = 4
+                                 ) -> tuple[np.ndarray, int]:
+    """Batched :func:`decode_jpeg_scale_crop` (one shared crop window —
+    the consistent-augmentation contract); returns (array [N,ch,cw,3],
+    #failures), failed frames zeroed."""
+    lib = _load()
+    assert lib is not None, "native decoder unavailable"
+    cy, cx, ch, cw = crop_yxhw
+    n = len(buffers)
+    arr = (ctypes.c_char_p * n)(*buffers)
+    lens = np.asarray([len(b) for b in buffers], np.int64)
+    out = np.empty((n, ch, cw, 3), np.uint8)
+    failures = lib.dpc_jpeg_decode_batch_scale_crop(
+        arr, lens, n, out, short_side, cy, cx, ch, cw, threads)
+    return out, int(failures)

@@ -30,6 +30,9 @@ def main(argv=None) -> None:
     p.add_argument("--decode_only", action="store_true",
                    help="decode+resize only (the --device_augment host "
                         "profile); default runs the full host transform")
+    p.add_argument("--no_roi", action="store_true",
+                   help="with --decode_only: full decode + numpy slicing "
+                        "instead of the fused ROI decode (A/B baseline)")
     p.add_argument("--batches", default=8, type=int)
     args = p.parse_args(argv)
 
@@ -37,15 +40,18 @@ def main(argv=None) -> None:
     from dpc_tpu.data.loader import ClipLoader
 
     if args.decode_only:
-        # the --device_augment host profile: native decode + short-side
-        # scale + pure-slicing random window (no photometrics)
+        # the --device_augment host profile: short-side scale + window,
+        # executed INSIDE the native ROI decode (augment.HostScaleCrop;
+        # --no_roi forces the old full-decode + numpy-slice path for A/B)
         if args.dataset == "k400":
             short, win = 150, (150, 200)
         else:
             short, win = 240, (224, 224)
-        transform = augment.Compose([
-            augment.Scale(short), augment.PadTo(*win),
-            augment.RandomCrop(win, consistent=True)])
+        transform = augment.HostScaleCrop(short, win)
+        if args.no_roi:
+            transform = augment.Compose([
+                augment.Scale(short), augment.PadTo(*win),
+                augment.RandomCrop(win, consistent=True)])
         decode_size = None
     else:
         transform = augment.pretrain_transform(
@@ -85,6 +91,7 @@ def main(argv=None) -> None:
         "workers": args.num_workers,
         "worker_mode": args.worker_mode,
         "decode_only": args.decode_only,
+        "roi_decode": args.decode_only and not args.no_roi,
     }))
     loader.close()
 

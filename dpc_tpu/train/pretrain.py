@@ -166,10 +166,10 @@ def get_dataset(cfg: ExperimentConfig, mode: str, unit_test: bool = False):
         win = device_augment_window(cfg)
         short = (win[0] if d.dataset == "k400" else
                  max(m.img_dim, 130) if d.dataset == "synthetic" else 240)
-        host_tf = augment.Compose([
-            augment.Scale(short),
-            augment.PadTo(*win),
-            augment.RandomCrop(win, consistent=True)])
+        # plan-capable: FrameClipDataset executes the scale+window INSIDE
+        # the native JPEG decode (ROI decode), so the host transform
+        # vanishes for frame trees; synthetic/fallback run its numpy path
+        host_tf = augment.HostScaleCrop(short, win)
         if d.dataset == "synthetic":
             return SyntheticVideoDataset(
                 transform=host_tf, num_videos=d.synthetic_num_videos,

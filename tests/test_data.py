@@ -9,6 +9,7 @@ import pytest
 from dpc_tpu.data import augment as A
 from dpc_tpu.data.loader import ClipLoader
 from dpc_tpu.data.synthetic import SyntheticVideoDataset
+from dpc_tpu.core import shapes
 from dpc_tpu.data import preprocess, video_dataset
 
 
@@ -430,3 +431,54 @@ class TestProcessLoader:
                 np.testing.assert_array_equal(tc, pc)
         finally:
             proc.close()
+
+
+class TestPlannedRoiDecode:
+    """--device_augment host path: the plan-capable HostScaleCrop executes
+    inside the native ROI decode; sample() must produce exactly the window
+    the numpy fallback path slices (round-3 VERDICT #4)."""
+
+    def _tree(self, tmp_path, h=240, w=320, n_frames=40):
+        import cv2
+        d = tmp_path / "classA" / "v_roi"
+        d.mkdir(parents=True)
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 255, (h, w, 3), np.uint8)
+        for i in range(n_frames):
+            img = np.roll(img, 3, axis=1)  # cheap motion
+            cv2.imwrite(str(d / f"image_{i + 1:05d}.jpg"), img,
+                        [cv2.IMWRITE_JPEG_QUALITY, 90])
+        return [video_dataset.VideoRecord(str(d), n_frames)]
+
+    def test_planned_matches_fallback_window(self, tmp_path):
+        from dpc_tpu import native
+        if not native.available():
+            pytest.skip("native decoder unavailable")
+        recs = self._tree(tmp_path)
+        op = A.HostScaleCrop(240, (224, 224))
+        ds = video_dataset.FrameClipDataset(
+            recs, op, num_seq=2, seq_len=3, downsample=2)
+        clip = ds.sample(0, np.random.default_rng(3))
+        assert clip.shape == (2, 3, 224, 224, 3)
+        assert clip.dtype == np.uint8
+
+        # identical rng => identical planned window; the fallback decodes
+        # fully then slices, which on a 240-short tree is bit-exact
+        rng = np.random.default_rng(3)
+        start = shapes.sample_clip_start(rng, 40, 2, 3, 2)
+        idx = shapes.clip_block_indices(start, 2, 3, 2)
+        frames = np.stack([video_dataset.load_frame(
+            ds._frame_path(recs[0], int(i))) for i in idx.reshape(-1)])
+        want = op(frames, rng).reshape(2, 3, 224, 224, 3)
+        np.testing.assert_array_equal(clip, want)
+
+    def test_planned_falls_back_when_pad_needed(self, tmp_path):
+        from dpc_tpu import native
+        if not native.available():
+            pytest.skip("native decoder unavailable")
+        recs = self._tree(tmp_path, h=320, w=200)  # portrait
+        op = A.HostScaleCrop(150, (150, 200))  # k400 geometry
+        ds = video_dataset.FrameClipDataset(
+            recs, op, num_seq=2, seq_len=3, downsample=2)
+        clip = ds.sample(0, np.random.default_rng(3))
+        assert clip.shape == (2, 3, 150, 200, 3)
