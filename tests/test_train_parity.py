@@ -96,7 +96,16 @@ def test_one_adam_step_matches_reference():
 
 
 def test_multi_step_loss_trajectory_tracks_reference():
-    """Three full steps: the loss sequences must stay within f32 drift."""
+    """Twenty full steps with a stated per-step divergence budget.
+
+    Adam dynamics are chaotic at lr=1e-3 from random init (m-hat/sqrt(v-hat)
+    ~ sign(g): elements with g ~ 0 flip under f32 reduction-order noise),
+    so elementwise parity decays with step count.  Measured on this box
+    (recorded in docs/RESULTS.md): rel-diff 0 at step 0, <=1.5% through
+    step 3, peak 9.6% at step 4, settling to 1-6% thereafter while both
+    curves decay 30 -> ~1.5 in lockstep.  Budget asserted here: 1e-4 at
+    step 0, 5e-2 through step 3, 15e-2 for every later step, and the
+    final losses within 10%."""
     cfg = DPCConfig(img_dim=64, num_seq=4, seq_len=5, pred_step=2,
                     gru_dropout=0.0)
     B = 2
@@ -112,12 +121,11 @@ def test_multi_step_loss_trajectory_tracks_reference():
     targets = jnp.asarray(nce.nce_targets(B, cfg.pred_step, cfg.sq))
     tx = optim.torch_adam(LR, WD)
     opt_state = tx.init(params)
-    import optax
 
     rng = np.random.default_rng(1)
     t_losses, j_losses = [], []
     step = jax.jit(lambda p, s, x: _one_step(p, s, x, cfg, targets, tx))
-    for i in range(3):
+    for i in range(20):
         x = rng.normal(size=(B, cfg.num_seq, cfg.seq_len, cfg.img_dim,
                              cfg.img_dim, 3)).astype(np.float32)
         score_t, mask_t = tmodel(ref.to_torch_video(x))
@@ -127,14 +135,17 @@ def test_multi_step_loss_trajectory_tracks_reference():
         topt.zero_grad()
         tloss.backward()
         topt.step()
-        t_losses.append(float(tloss))
+        t_losses.append(float(tloss.detach()))
 
         params, opt_state, jloss = step(params, opt_state, jnp.asarray(x))
         j_losses.append(float(jloss))
-    # step 1 is tight; later steps accumulate Adam sign-flip divergence on
-    # near-zero grads (chaotic at lr=1e-3 from random init)
     np.testing.assert_allclose(j_losses[0], t_losses[0], rtol=1e-4)
-    np.testing.assert_allclose(j_losses, t_losses, rtol=5e-2)
+    np.testing.assert_allclose(j_losses[:4], t_losses[:4], rtol=5e-2)
+    np.testing.assert_allclose(j_losses, t_losses, rtol=15e-2)
+    np.testing.assert_allclose(j_losses[-1], t_losses[-1], rtol=1e-1)
+    # both trajectories must have actually descended together
+    assert t_losses[-1] < max(t_losses) / 5
+    assert j_losses[-1] < max(j_losses) / 5
 
 
 def _one_step(params, opt_state, x, cfg, targets, tx):
