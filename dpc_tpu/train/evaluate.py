@@ -274,6 +274,12 @@ def run_test(cfg: ExperimentConfig, params, bn_state, exp_dir: str,
             rows = np.concatenate(
                 [rows, np.repeat(rows[-1:], wb - r, axis=0)])
         dev = forward(params, bn_state, jnp.asarray(rows))  # async dispatch
+        if hasattr(dev, "copy_to_host_async"):
+            # start the device->host logits copy now so drain()'s
+            # np.asarray a flush later finds it already on host (same
+            # overlap as loop.run_epoch; docs/RESULTS.md round-3 loop
+            # study measured ~40 ms/fetch over the tunnel without it)
+            dev.copy_to_host_async()
         drain()  # convert the PREVIOUS flush while this one computes
         pending.append((dev, r, meta))
         buf, meta = [], []

@@ -104,6 +104,14 @@ def run_epoch(dispatch, loader, meters, *, mode: str = "train",
             first_batch_fn(batch)
             first_batch_fn = None
         metrics = dispatch(idx, batch)
+        # Start the device->host copy NOW so it overlaps this step's
+        # compute; drain()'s float() one iteration later then finds the
+        # scalars already on host.  Without this every drain pays the
+        # full host<->device round-trip (measured ~40 ms/step over the
+        # axon tunnel: docs/RESULTS.md round-3 loop study).
+        for v in metrics.values():
+            if hasattr(v, "copy_to_host_async"):
+                v.copy_to_host_async()
         steps += 1
         if pending is not None:
             drain(pending)
