@@ -223,3 +223,118 @@ def _core_bwd(idx, g4):
 
 
 _pool_core.defvjp(_core_fwd, _core_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Input-resolution equality-routed backward (round-3 VERDICT #1 follow-up)
+#
+# The SAS backward (layers._rmp_sas_bwd) measures ~14 ms in the batch-64
+# stem — 3.5× its ~4 ms bandwidth roofline.  This kernel computes dz in a
+# single pass at INPUT resolution with no strided ops anywhere:
+#
+#   * window maxima are recomputed in VMEM as a stride-1 3×3 max (M3) of
+#     the source tile — only its values at even (window-center) positions
+#     are consumed;
+#   * the output gradient arrives interior-padded to input resolution
+#     (one XLA lax.pad: g sits at the even window centers, zeros
+#     elsewhere), so the parity masks come FREE from the zeros and the
+#     kernel is nine unit-shifted multiply-accumulates:
+#       dz[p] = Σ_{δ∈{-1,0,1}²} Gfull[p+δ] · (src[p] == M3[p+δ])
+#
+# Tie semantics: equality routing (every maximal position receives the
+# window's gradient — the documented `eqroute` behaviour, PARITY.md #9),
+# unlike SAS's torch-exact first-winner routing.
+# ---------------------------------------------------------------------------
+
+
+def _shift2(x: jax.Array, dh: int, dw: int, fill) -> jax.Array:
+    """y[:, i, j, :] = x[:, i+dh, j+dw, :], border-filled (|dh|,|dw| ≤ 1).
+
+    Unit-stride concatenation only — the one window-access pattern Mosaic
+    lowers without relayouts.
+    """
+    if dh == 1:
+        x = jnp.concatenate(
+            [x[:, 1:], jnp.full_like(x[:, :1], fill)], axis=1)
+    elif dh == -1:
+        x = jnp.concatenate(
+            [jnp.full_like(x[:, :1], fill), x[:, :-1]], axis=1)
+    if dw == 1:
+        x = jnp.concatenate(
+            [x[:, :, 1:], jnp.full_like(x[:, :, :1], fill)], axis=2)
+    elif dw == -1:
+        x = jnp.concatenate(
+            [jnp.full_like(x[:, :, :1], fill), x[:, :, :-1]], axis=2)
+    return x
+
+
+def _bwd_eq_kernel(src_ref, gfull_ref, dsrc_ref):
+    src = src_ref[:].astype(jnp.float32)           # [bm, H, W, C]
+    gf = gfull_ref[:].astype(jnp.float32)
+    m3 = src
+    for dh, dw in [(0, 1), (0, -1), (1, 0), (1, -1), (1, 1),
+                   (-1, 0), (-1, -1), (-1, 1)]:
+        m3 = jnp.maximum(m3, _shift2(src, dh, dw, NEG))
+    acc = gf * (src == m3).astype(jnp.float32)     # δ = (0, 0)
+    for dh in (-1, 0, 1):
+        for dw in (-1, 0, 1):
+            if dh == 0 and dw == 0:
+                continue
+            eq = (src == _shift2(m3, dh, dw, NEG)).astype(jnp.float32)
+            acc = acc + _shift2(gf, dh, dw, 0.0) * eq
+    dsrc_ref[:] = acc.astype(dsrc_ref.dtype)
+
+
+def maxpool_bwd_eq(src4: jax.Array, g4: jax.Array) -> jax.Array:
+    """dz for 3×3/s2/p1 max-pool over ``[M, H, W, C]`` (even H, W),
+    equality-routed.  ``g4``: ``[M, H/2, W/2, C]``."""
+    m, h, w, c = src4.shape
+    # g at the even window centers, zeros elsewhere: (lo, hi, interior)
+    gfull = jax.lax.pad(g4, jnp.zeros((), g4.dtype),
+                        ((0, 0, 0), (0, 1, 1), (0, 1, 1), (0, 0, 0)))
+    bm = _block_m(h, w, c, 4, budget=2**21)
+    mp = int(np.ceil(m / bm)) * bm
+    if mp != m:
+        src4 = jnp.pad(src4, ((0, mp - m), (0, 0), (0, 0), (0, 0)),
+                       constant_values=NEG)
+        gfull = jnp.pad(gfull, ((0, mp - m), (0, 0), (0, 0), (0, 0)))
+    spec = pl.BlockSpec((bm, h, w, c), lambda i: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    dsrc = pl.pallas_call(
+        _bwd_eq_kernel,
+        grid=(mp // bm,),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((mp, h, w, c), g4.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
+        interpret=_interpret(),
+    )(src4, gfull)
+    return dsrc[:m]
+
+
+@jax.custom_vjp
+def maxpool_3x3s2_eq(z: jax.Array) -> jax.Array:
+    """3×3/s2/p1 max-pool over NDHWC ``[N, T, H, W, C]`` (even H, W):
+    ``lax.reduce_window`` forward (bit-identical values), Pallas
+    equality-routed backward in ONE input-resolution pass."""
+    return _eq_fwd(z)[0]
+
+
+def _eq_fwd(z):
+    n, t, h, w, c = z.shape
+    out = jax.lax.reduce_window(
+        z, -jnp.inf, jax.lax.max,
+        (1, 1, 3, 3, 1), (1, 1, 2, 2, 1),
+        [(0, 0), (0, 0), (1, 1), (1, 1), (0, 0)])
+    return out, z
+
+
+def _eq_bwd(z, g):
+    n, t, h, w, c = z.shape
+    dsrc = maxpool_bwd_eq(z.reshape(n * t, h, w, c),
+                          g.reshape(n * t, h // 2, w // 2, c))
+    return (dsrc.reshape(z.shape),)
+
+
+maxpool_3x3s2_eq.defvjp(_eq_fwd, _eq_bwd)

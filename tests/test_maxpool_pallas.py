@@ -381,3 +381,35 @@ class TestFusedStemRunningStats:
                 np.asarray(ns_f["stem"]["bn"]["mean"]),
                 np.asarray(ns_u["stem"]["bn"]["mean"]),
                 rtol=1e-4, atol=1e-5)
+
+
+class TestEqKernelBackward:
+    """maxpool_3x3s2_eq: the single-pass input-resolution Pallas backward
+    (round-3; measured 9x SLOWER than SAS on-chip — kept as the verified
+    negative result + pattern, docs/RESULTS.md round-3 roofline study)."""
+
+    def test_forward_matches_maxpool3d(self):
+        z = _rand((2, 3, 16, 16, 8), seed=20)
+        ref = L.maxpool3d(z, (1, 3, 3), (1, 2, 2), (0, 1, 1))
+        got = maxpool_pallas.maxpool_3x3s2_eq(z)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_gradient_matches_on_tie_free_data(self):
+        z = _rand((2, 2, 16, 16, 8), seed=21)
+        g_ref = jax.grad(lambda v: jnp.sum(
+            L.maxpool3d(v, (1, 3, 3), (1, 2, 2), (0, 1, 1)) ** 2))(z)
+        g_got = jax.grad(lambda v: jnp.sum(
+            maxpool_pallas.maxpool_3x3s2_eq(v) ** 2))(z)
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_tie_duplication_semantics(self):
+        # two maximal positions inside one window: equality routing sends
+        # the window's FULL gradient to each (eqroute semantics)
+        z = jnp.zeros((1, 1, 4, 4, 1)).at[0, 0, 0, 0, 0].set(5.0)
+        z = z.at[0, 0, 0, 1, 0].set(5.0)
+        g = jax.grad(lambda v: jnp.sum(
+            maxpool_pallas.maxpool_3x3s2_eq(v)))(z)
+        # (0,0) in window (0,0) only; (0,1) in windows (0,0) and (0,1)
+        assert float(g[0, 0, 0, 0, 0]) == 1.0
+        assert float(g[0, 0, 0, 1, 0]) == 2.0
