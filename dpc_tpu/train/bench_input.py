@@ -33,6 +33,8 @@ def main(argv=None) -> None:
     p.add_argument("--no_roi", action="store_true",
                    help="with --decode_only: full decode + numpy slicing "
                         "instead of the fused ROI decode (A/B baseline)")
+    p.add_argument("--num_seq", default=8, type=int)
+    p.add_argument("--seq_len", default=5, type=int)
     p.add_argument("--batches", default=8, type=int)
     args = p.parse_args(argv)
 
@@ -44,7 +46,10 @@ def main(argv=None) -> None:
         # executed INSIDE the native ROI decode (augment.HostScaleCrop;
         # --no_roi forces the old full-decode + numpy-slice path for A/B)
         if args.dataset == "k400":
-            short, win = 150, (150, 200)
+            # mirrors pretrain.device_augment_window: 256-short tree for
+            # the 224 recipe, 150-short for 128
+            short = 256 if args.img_dim > 140 else 150
+            win = (short, int(round(short * 4 / 3)))
         else:
             short, win = 240, (224, 224)
         transform = augment.HostScaleCrop(short, win)
@@ -71,16 +76,28 @@ def main(argv=None) -> None:
         from dpc_tpu.data.video_dataset import make_dataset
 
         ds = make_dataset(args.dataset, args.data_root, "train", transform,
+                          num_seq=args.num_seq, seq_len=args.seq_len,
+                          big=args.dataset == "k400" and args.img_dim > 140,
                           decode_size=decode_size)
 
     loader = ClipLoader(ds, args.batch_size, num_workers=args.num_workers,
                         worker_mode=args.worker_mode)
     it = iter(loader)
-    next(it)  # warm the pool
+
+    def nxt():
+        # small benchmark trees exhaust in under args.batches: cycle
+        nonlocal it
+        try:
+            return next(it)
+        except StopIteration:
+            it = iter(loader)
+            return next(it)
+
+    nxt()  # warm the pool
     t0 = time.perf_counter()
     n = 0
     for _ in range(args.batches):
-        batch = next(it)
+        batch = nxt()
         n += batch.shape[0] if not isinstance(batch, tuple) \
             else batch[0].shape[0]
     dt = time.perf_counter() - t0
