@@ -65,6 +65,24 @@ class Padding:
         return np.pad(clip, ((0, 0), (p, p), (p, p), (0, 0)))
 
 
+def shortside_dims(h: int, w: int, s: int) -> tuple[int, int]:
+    """Output (h, w) of a short-side-``s`` aspect-preserving resize.
+
+    THE geometry contract of the split pipeline: ``Scale``,
+    ``HostScaleCrop.plan`` and the native decoder's ``shortside_dims``
+    (``native/jpeg_decoder.cpp``) must all agree — the planned crop
+    window is computed against these dims, and a mismatch makes the
+    native ROI decode reject every frame (rc=2) and silently degrade to
+    the slow fallback.  Torchvision truncation semantics (int(), not
+    round()), matching the reference's ``Scale`` (``utils/augmentation.py``).
+    """
+    if (w <= h and w == s) or (h <= w and h == s):
+        return h, w
+    if w < h:
+        return int(s * h / w), s
+    return s, int(s * w / h)
+
+
 class Scale:
     """Short-side resize (int size) or fixed (w, h) resize."""
 
@@ -75,13 +93,9 @@ class Scale:
     def __call__(self, clip, rng):
         t, h, w, c = clip.shape
         if isinstance(self.size, int):
-            s = self.size
-            if (w <= h and w == s) or (h <= w and h == s):
+            oh, ow = shortside_dims(h, w, self.size)
+            if (oh, ow) == (h, w):
                 return clip
-            if w < h:
-                ow, oh = s, int(s * h / w)
-            else:
-                oh, ow = s, int(s * w / h)
             return _resize_clip(clip, (ow, oh), self.interpolation)
         return _resize_clip(clip, tuple(self.size), self.interpolation)
 
@@ -502,12 +516,7 @@ class HostScaleCrop:
         self._crop = RandomCrop(win_hw, consistent=True)
 
     def scaled_dims(self, h: int, w: int) -> tuple[int, int]:
-        s = self.short
-        if (w <= h and w == s) or (h <= w and h == s):
-            return h, w
-        if w < h:
-            return int(s * h / w), s
-        return s, int(s * w / h)
+        return shortside_dims(h, w, self.short)
 
     def plan(self, src_hw: tuple[int, int], rng
              ) -> "tuple[int, tuple[int, int, int, int]] | None":

@@ -241,15 +241,21 @@ class FrameClipDataset:
             return None
         try:
             flat = np.minimum(indices.reshape(-1), record.num_frames - 1)
-            buffers = []
-            for i in flat:
-                with open(self._frame_path(record, int(i)), "rb") as f:
-                    buffers.append(f.read())
-            # frames of one video share dims (extraction contract)
-            src_hw = native.jpeg_dims(buffers[0])
+            # plan from the FIRST frame's header before reading the rest:
+            # frames of one video share dims (extraction contract), and a
+            # video the transform can't plan (e.g. portrait needing
+            # padding) would otherwise have all its frames read, thrown
+            # away, and re-read by the fallback on every sample
+            with open(self._frame_path(record, int(flat[0])), "rb") as f:
+                first = f.read()
+            src_hw = native.jpeg_dims(first)
             plan = self.transform.plan(src_hw, rng)
             if plan is None:
                 return None
+            buffers = [first]
+            for i in flat[1:]:
+                with open(self._frame_path(record, int(i)), "rb") as f:
+                    buffers.append(f.read())
             short, crop = plan
             out, failures = native.decode_jpeg_batch_scale_crop(
                 buffers, short, crop, threads=self.decode_threads)

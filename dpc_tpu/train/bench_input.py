@@ -45,13 +45,9 @@ def main(argv=None) -> None:
         # the --device_augment host profile: short-side scale + window,
         # executed INSIDE the native ROI decode (augment.HostScaleCrop;
         # --no_roi forces the old full-decode + numpy-slice path for A/B)
-        if args.dataset == "k400":
-            # mirrors pretrain.device_augment_window: 256-short tree for
-            # the 224 recipe, 150-short for 128
-            short = 256 if args.img_dim > 140 else 150
-            win = (short, int(round(short * 4 / 3)))
-        else:
-            short, win = 240, (224, 224)
+        from dpc_tpu.train.pretrain import device_augment_geometry
+
+        short, win = device_augment_geometry(args.dataset, args.img_dim)
         transform = augment.HostScaleCrop(short, win)
         if args.no_roi:
             transform = augment.Compose([

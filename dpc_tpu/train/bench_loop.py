@@ -77,7 +77,16 @@ def main(argv=None) -> None:
     tx = optim.pretrain_optimizer(params, t.lr, t.wd, t.train_what)
     state = meshlib.replicate(mesh, pretrain_step.TrainState(
         params, tx.init(params), jnp.zeros((), jnp.int32)))
-    step_fn = pretrain_step.make_pretrain_step(m, t, mesh, tx)
+    raw_step = pretrain_step.make_pretrain_step(m, t, mesh, tx)
+    n_dispatched = 0
+
+    def step_fn(state, xb, key):
+        # count real dispatches: a small loader can yield fewer than
+        # --steps batches, and reporting clips/s over steps never run
+        # would overstate throughput
+        nonlocal n_dispatched
+        n_dispatched += 1
+        return raw_step(state, xb, key)
     if args.sync:
         inner_step = step_fn
 
@@ -98,9 +107,12 @@ def main(argv=None) -> None:
         loader = CachedLoader(xb_dev, args.steps + 5)
     elif args.source == "cached":
         if args.device_augment:
-            win = int(round(max(args.img_dim, 130) * 224 / 240))
+            from dpc_tpu.train.pretrain import device_augment_geometry
+
+            _, (wh, ww) = device_augment_geometry("synthetic",
+                                                  args.img_dim)
             batch = np.random.default_rng(0).integers(
-                0, 255, (args.batch_size, m.num_seq, m.seq_len, win, win,
+                0, 255, (args.batch_size, m.num_seq, m.seq_len, wh, ww,
                          3), np.uint8)
         else:
             batch = np.random.default_rng(0).normal(size=(
@@ -122,21 +134,24 @@ def main(argv=None) -> None:
     # warm-up epoch: compile + loader spin-up (2 steps)
     state, _, _ = run_epoch(step_fn, state, loader, mesh, key, train=True,
                             print_freq=1000, max_steps=2)
+    n_dispatched = 0
     t0 = time.perf_counter()
     state, meters, _ = run_epoch(step_fn, state, loader, mesh, key,
                                  train=True, print_freq=1000,
                                  max_steps=args.steps)
     # run_epoch drains the final step's metrics before returning, so the
-    # wall time covers exactly `steps` completed steps
+    # wall time covers exactly the dispatched steps
     dt = time.perf_counter() - t0
-    clips = args.steps * args.batch_size / dt
+    steps = n_dispatched
+    clips_done = meters["loss"].count  # rows actually processed
     print(json.dumps({
         "metric": "end-to-end train clips/s (driver loop)",
-        "value": round(clips, 2),
+        "value": round(clips_done / dt, 2),
         "unit": "clips/s",
         "source": args.source,
         "device_augment": args.device_augment,
-        "ms_per_step": round(dt / args.steps * 1e3, 2),
+        "steps": steps,
+        "ms_per_step": round(dt / max(steps, 1) * 1e3, 2),
     }))
     if hasattr(loader, "close"):
         loader.close()

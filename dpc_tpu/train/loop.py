@@ -120,9 +120,16 @@ def run_epoch(dispatch, loader, meters, *, mode: str = "train",
         if (train and step_save_fn is not None
                 and (preempted or (save_every_steps
                                    and (idx + 1) % save_every_steps == 0))):
+            # the checkpoint persists step idx's parameter update:
+            # finite-check THIS step (not just the lagging pending one)
+            # before writing, so a NaN step can never be saved and then
+            # resumed from — drain raises on non-finite loss
+            drain(pending)
+            pending = None
             step_save_fn(epoch, idx)
         if preempted:
-            drain(pending)
+            if pending is not None:
+                drain(pending)
             raise SystemExit("[preemption] checkpointed and exiting")
     if pending is not None:
         drain(pending)

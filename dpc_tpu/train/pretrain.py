@@ -139,17 +139,27 @@ def config_from_args(args) -> ExperimentConfig:
     )
 
 
+def device_augment_geometry(dataset: str, img_dim: int
+                            ) -> tuple[int, tuple[int, int]]:
+    """(short_side, window_hw) of the ``--device_augment`` host half —
+    THE single source of the recipe geometry (``get_dataset``,
+    ``bench_input`` and ``bench_loop`` all route through it, so the
+    benchmarks always measure the window production uses).  Mirrors the
+    reference recipes: UCF/HMDB consistent 224-of-240 crop
+    (``dpc/main.py:116-124``), K400 a native-geometry window the device
+    RandomSizedCrop draws from (``dpc/main.py:126-133``)."""
+    if dataset == "k400":
+        short = 256 if img_dim > 140 else 150
+        return short, (short, int(round(short * 4 / 3)))
+    if dataset == "synthetic":
+        short = max(img_dim, 130)
+        return short, (int(round(short * 224 / 240)),) * 2
+    return 240, (224, 224)
+
+
 def device_augment_window(cfg: ExperimentConfig) -> tuple[int, int]:
-    """Host-side (h, w) window fed to the device augmenter — mirrors the
-    reference recipes' geometry (see get_dataset)."""
-    m, d = cfg.model, cfg.data
-    if d.dataset == "k400":
-        short = 256 if m.img_dim > 140 else 150
-        return short, int(round(short * 4 / 3))
-    if d.dataset == "synthetic":
-        short = max(m.img_dim, 130)
-        return (int(round(short * 224 / 240)),) * 2
-    return 224, 224
+    """Host-side (h, w) window fed to the device augmenter."""
+    return device_augment_geometry(cfg.data.dataset, cfg.model.img_dim)[1]
 
 
 def get_dataset(cfg: ExperimentConfig, mode: str, unit_test: bool = False):
@@ -163,9 +173,7 @@ def get_dataset(cfg: ExperimentConfig, mode: str, unit_test: bool = False):
         # (dpc/main.py:116-124), K400 a native-geometry window that the
         # device RandomSizedCrop draws from (dpc/main.py:126-133).
         big = d.dataset == "k400" and m.img_dim > 140
-        win = device_augment_window(cfg)
-        short = (win[0] if d.dataset == "k400" else
-                 max(m.img_dim, 130) if d.dataset == "synthetic" else 240)
+        short, win = device_augment_geometry(d.dataset, m.img_dim)
         # plan-capable: FrameClipDataset executes the scale+window INSIDE
         # the native JPEG decode (ROI decode), so the host transform
         # vanishes for frame trees; synthetic/fallback run its numpy path
