@@ -174,6 +174,10 @@ class EvalConfig:
     # (the reference's dormant path, eval/dataset_3d_lc.py:98-107)
     five_crop: bool = False
     remat: bool = False          # jax.checkpoint the LC forward to save HBM
+    # split pipeline for the finetune/val recipes: host = ROI decode to
+    # the full-geometry window, crop/flip/jitter/normalize inside the
+    # jitted step (data/device_augment.py:finetune_augment_batch)
+    device_augment: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

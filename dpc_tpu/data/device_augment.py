@@ -33,14 +33,29 @@ IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 
 
+def _lin_weights(coords: jax.Array, src: int) -> jax.Array:
+    """[out, src] 2-tap bilinear sampling matrix for source coordinates
+    ``coords`` (border-clamped).  Row i holds weights ``1-frac``/``frac``
+    at ``floor(c_i)``/``floor(c_i)+1`` — a banded matrix, but expressing
+    the resample as a DENSE matmul is the TPU move: the MXU eats it,
+    while the equivalent dynamic gather lowers to serialized row
+    loads (measured 2.3x step cost on the finetune recipe,
+    tools/probes/probe_ft_da.py)."""
+    c = jnp.clip(coords, 0.0, src - 1.0)
+    j = jnp.arange(src, dtype=jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(c[:, None] - j[None, :]))
+
+
 def random_resized_crop(key: jax.Array, clip: jax.Array, out_size: int,
                         area_range=(0.5, 1.0),
                         aspect_range=(3 / 4, 4 / 3)) -> jax.Array:
     """Clip-consistent random area/aspect crop + resize.
 
-    clip: ``[T, H, W, C]`` float32.  Single-attempt variant (a rejected
-    draw clamps to the frame) — statistically close to the reference's
-    10-attempt loop but branch-free for XLA.
+    clip: ``[T, H, W, C]`` float or uint8 (converted at the matmul, so a
+    uint8 window is never materialized as f32 at full resolution).
+    Single-attempt variant (a rejected draw clamps to the frame) —
+    statistically close to the reference's 10-attempt loop but
+    branch-free for XLA.  Returns f32 in the input's value scale.
     """
     t, h, w, c = clip.shape
     k1, k2, k3, k4 = jax.random.split(key, 4)
@@ -53,19 +68,16 @@ def random_resized_crop(key: jax.Array, clip: jax.Array, out_size: int,
     ch = jnp.clip(jnp.sqrt(area / aspect), 8.0, h).astype(jnp.int32)
     x0 = jax.random.randint(k3, (), 0, jnp.maximum(w - cw, 0) + 1)
     y0 = jax.random.randint(k4, (), 0, jnp.maximum(h - ch, 0) + 1)
-    # gather-based crop+resize in one step: sample out_size coordinates
+    # crop+resize as one separable interpolation matmul per axis
     xs = x0 + (jnp.arange(out_size) + 0.5) * (cw / out_size) - 0.5
     ys = y0 + (jnp.arange(out_size) + 0.5) * (ch / out_size) - 0.5
-    x_lo = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
-    y_lo = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
-    x_hi = jnp.clip(x_lo + 1, 0, w - 1)
-    y_hi = jnp.clip(y_lo + 1, 0, h - 1)
-    wx = (xs - x_lo)[None, None, :, None]
-    wy = (ys - y_lo)[None, :, None, None]
-    g = lambda yi, xi: clip[:, yi][:, :, xi]
-    top = g(y_lo, x_lo) * (1 - wx) + g(y_lo, x_hi) * wx
-    bot = g(y_hi, x_lo) * (1 - wx) + g(y_hi, x_hi) * wx
-    return top * (1 - wy) + bot * wy
+    wy = _lin_weights(ys, h)                     # [out, H]
+    wx = _lin_weights(xs, w)                     # [out, W]
+    # HIGHEST: the weights are exact and the values fit bf16x3, so e.g.
+    # the area=1.0 identity draw reproduces the input bit-for-bit
+    return jnp.einsum("oh,thwc,pw->topc", wy,
+                      clip.astype(jnp.float32), wx,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def random_hflip(key: jax.Array, clip: jax.Array) -> jax.Array:
@@ -146,6 +158,69 @@ def resize_fixed(clip: jax.Array, out_size: int,
     return jax.image.resize(clip, (t, out_size, out_size, c), method)
 
 
+def center_crop_resize(clip: jax.Array, crop_size: int,
+                       out_size: int) -> jax.Array:
+    """Center-crop ``crop_size``² (clamped to the frame) then bilinear
+    resize to ``out_size``² — the RandomSizedCrop p-miss fallback of the
+    finetune/val recipe (``CenterCrop(224)`` → ``Scale(img_dim)``,
+    reference ``eval/test.py:121-176`` via ``utils/augmentation.py``)."""
+    t, h, w, c = clip.shape
+    ch, cw = min(crop_size, h), min(crop_size, w)
+    y0, x0 = (h - ch) // 2, (w - cw) // 2
+    clip = clip[:, y0:y0 + ch, x0:x0 + cw, :]
+    if not jnp.issubdtype(clip.dtype, jnp.floating):
+        # uint8 in: crop FIRST, convert after — converting the full
+        # window to f32 before cropping is pure wasted HBM traffic
+        clip = clip.astype(jnp.float32)
+    # antialias=False: the host path is cv2 INTER_LINEAR (2-tap, no
+    # prefilter); the default antialiased resize visibly diverges on
+    # high-frequency content
+    return jax.image.resize(clip, (t, out_size, out_size, c), "linear",
+                            antialias=False)
+
+
+def finetune_augment_batch(key: jax.Array, clips: jax.Array, img_dim: int,
+                           mode: str = "train") -> jax.Array:
+    """Device half of the finetune/probe recipes
+    (``augment.finetune_transform``; reference ``eval/test.py:121-176``):
+
+      train: RandomSizedCrop(224, consistent) → Scale(img_dim) → flip →
+             ColorJitter(.5,.5,.5,.25, consistent, p=.3) → Normalize
+      val:   the same with crop p=.3 (else CenterCrop(224)+Scale) and
+             jitter strengths (.2,.2,.2,.1)
+
+    The crop+two-resample chain collapses into ONE bilinear resample to
+    ``img_dim`` (crop geometry identical; see PARITY.md).  All draws are
+    clip-consistent, matching the reference recipe.  ``clips``:
+    ``[B, N, SL, H, W, C]`` uint8 full-geometry windows.
+    """
+    b, n, sl, h, w, c = clips.shape
+    # stay uint8 until AFTER the crop: the gathers promote to f32 at the
+    # cropped resolution, so the full-geometry window is never converted
+    # (full-res f32 conversion measured +60% finetune step time,
+    # tools/probes/probe_ft_da.py)
+    flat = clips.reshape(b, n * sl, h, w, c)
+    crop_p = 1.0 if mode == "train" else 0.3
+    jb, jc, js, jh = ((0.5, 0.5, 0.5, 0.25) if mode == "train"
+                      else (0.2, 0.2, 0.2, 0.1))
+
+    def per_sample(key, clip):
+        kp, kc, kf, kq, kj = jax.random.split(key, 5)
+        out = random_resized_crop(kc, clip, img_dim)    # f32, 0..255
+        if crop_p < 1.0:
+            cc = center_crop_resize(clip, 224, img_dim)
+            out = jnp.where(jax.random.bernoulli(kp, crop_p), out, cc)
+        out = out / 255.0
+        out = random_hflip(kf, out)
+        jit = color_jitter(kj, out, jb, jc, js, jh, per_frame=False)
+        out = jnp.where(jax.random.bernoulli(kq, 0.3), jit, out)
+        return normalize(out)
+
+    keys = jax.random.split(key, b)
+    out = jax.vmap(per_sample)(keys, flat)
+    return out.reshape(b, n, sl, img_dim, img_dim, c)
+
+
 def augment_batch(key: jax.Array, clips: jax.Array, img_dim: int,
                   gray_p: float = 0.5,
                   recipe: str = "sized_crop") -> jax.Array:
@@ -161,15 +236,16 @@ def augment_batch(key: jax.Array, clips: jax.Array, img_dim: int,
         a uniform random crop is distribution-identical (PARITY.md).
     """
     b, n, sl, h, w, c = clips.shape
-    x = clips.astype(jnp.float32) / 255.0
-    flat = x.reshape(b, n * sl, h, w, c)
+    # uint8 until after the crop/resize (see finetune_augment_batch: the
+    # full-geometry window is never converted at full resolution)
+    flat = clips.reshape(b, n * sl, h, w, c)
 
     def per_sample(key, clip):
         kc, kf, kg, kj = jax.random.split(key, 4)
         if recipe == "sized_crop":
-            clip = random_resized_crop(kc, clip, img_dim)
+            clip = random_resized_crop(kc, clip, img_dim) / 255.0
         else:
-            clip = resize_fixed(clip, img_dim)
+            clip = resize_fixed(clip, img_dim).astype(jnp.float32) / 255.0
         clip = random_hflip(kf, clip)
         clip = random_gray(kg, clip, p=gray_p, per_frame=True)
         clip = color_jitter(kj, clip, per_frame=True)

@@ -35,6 +35,10 @@ def main(argv=None) -> None:
                         "instead of the fused ROI decode (A/B baseline)")
     p.add_argument("--num_seq", default=8, type=int)
     p.add_argument("--seq_len", default=5, type=int)
+    p.add_argument("--task", default="pretrain",
+                   choices=["pretrain", "finetune"],
+                   help="with --decode_only: which driver's host window "
+                        "to decode to (finetune = full-geometry window)")
     p.add_argument("--batches", default=8, type=int)
     args = p.parse_args(argv)
 
@@ -47,7 +51,8 @@ def main(argv=None) -> None:
         # --no_roi forces the old full-decode + numpy-slice path for A/B)
         from dpc_tpu.train.pretrain import device_augment_geometry
 
-        short, win = device_augment_geometry(args.dataset, args.img_dim)
+        short, win = device_augment_geometry(args.dataset, args.img_dim,
+                                             task=args.task)
         transform = augment.HostScaleCrop(short, win)
         if args.no_roi:
             transform = augment.Compose([

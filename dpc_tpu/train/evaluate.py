@@ -116,6 +116,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--multihost", action="store_true",
                    help="initialise jax.distributed; each host feeds its "
                         "shard of the global batch")
+    p.add_argument("--device_augment", action="store_true",
+                   help="host workers only ROI-decode full-geometry "
+                        "windows; the finetune/val crop+flip+jitter runs "
+                        "inside the jitted step (same split the pretrain "
+                        "driver has; PARITY.md #12)")
     return p
 
 
@@ -143,13 +148,39 @@ def config_from_args(args) -> ExperimentConfig:
                         epochs=args.epochs, batch_size=args.batch_size,
                         lr_milestones=milestones,
                         backbone_lr_scale=args.backbone_lr_scale,
-                        five_crop=args.five_crop, remat=args.remat),
+                        five_crop=args.five_crop, remat=args.remat,
+                        device_augment=args.device_augment),
     )
 
 
 def get_dataset(cfg: ExperimentConfig, mode: str, unit_test: bool = False):
     m, d = cfg.model, cfg.data
     five = cfg.eval.five_crop and mode == "test"
+    if cfg.eval.device_augment and mode in ("train", "val"):
+        # host half of the split pipeline: ROI-decode the full-geometry
+        # window (the finetune RandomSizedCrop draws from the WHOLE
+        # frame, eval/test.py:121-176, so the window is the frame at
+        # short side 240); crop/flip/jitter/normalize run in the jitted
+        # step (finetune_step → device_augment.finetune_augment_batch)
+        from dpc_tpu.train.pretrain import device_augment_geometry
+
+        short, win = device_augment_geometry(d.dataset, m.img_dim,
+                                             task="finetune")
+        host_tf = augment.HostScaleCrop(short, win)
+        if d.dataset == "synthetic":
+            return SyntheticVideoDataset(
+                transform=host_tf, num_videos=d.synthetic_num_videos,
+                video_len=d.synthetic_video_len,
+                frame_size=max(m.img_dim, 130), num_seq=m.num_seq,
+                seq_len=m.seq_len, downsample=d.downsample, mode=mode,
+                return_label=True,
+                num_classes=NUM_CLASSES["synthetic"],
+                seed=2 if mode == "val" else 0)
+        return make_dataset(d.dataset, d.data_root, mode, host_tf,
+                            num_seq=m.num_seq, seq_len=m.seq_len,
+                            downsample=d.downsample, split=d.split,
+                            return_label=True, unit_test=unit_test,
+                            val_subsample=d.val_subsample)
     if d.dataset == "synthetic":
         if mode == "test":
             tf = augment.Compose([
@@ -488,9 +519,18 @@ def main(argv=None) -> None:
     # pre-compile; on HBM OOM rebuild the step with rematerialization
     # (recompute activations in the backward) — same fallback as pretrain
     if not e.remat:
-        bshape = jax.ShapeDtypeStruct(
-            (cfg.train.batch_size, m.num_seq, m.seq_len, m.img_dim,
-             m.img_dim, 3), jnp.float32)
+        if e.device_augment:
+            from dpc_tpu.train.pretrain import device_augment_geometry
+
+            _, (wh, ww) = device_augment_geometry(
+                cfg.data.dataset, m.img_dim, task="finetune")
+            bshape = jax.ShapeDtypeStruct(
+                (cfg.train.batch_size, m.num_seq, m.seq_len, wh, ww, 3),
+                jnp.uint8)
+        else:
+            bshape = jax.ShapeDtypeStruct(
+                (cfg.train.batch_size, m.num_seq, m.seq_len, m.img_dim,
+                 m.img_dim, 3), jnp.float32)
         lshape = jax.ShapeDtypeStruct((cfg.train.batch_size,), jnp.int32)
         try:
             step_fn.lower(state, bshape, lshape, jax.random.PRNGKey(0),
@@ -548,7 +588,13 @@ def main(argv=None) -> None:
         # iterator and decode prefetch_batches for one image
         def log_input_grid(batch):
             clips = batch[0]
-            grid = denormalize(clips.reshape(-1, *clips.shape[-3:])[:16])
+            frames = clips.reshape(-1, *clips.shape[-3:])[:16]
+            if frames.dtype == np.uint8:
+                # --device_augment feeds raw uint8 pre-crop windows;
+                # denormalize() would saturate them to white
+                grid = frames.astype(np.float32) / 255.0
+            else:
+                grid = denormalize(frames)
             writer_train.add_images("input_seq", grid, epoch,
                                     dataformats="NHWC")
 
@@ -585,7 +631,8 @@ def main(argv=None) -> None:
             clips, labels = batch
             return eval_fn(state.params, state.state,
                            meshlib.shard_batch(mesh, jnp.asarray(clips)),
-                           meshlib.shard_batch(mesh, jnp.asarray(labels)))
+                           meshlib.shard_batch(mesh, jnp.asarray(labels)),
+                           jax.random.fold_in(ekey, idx))
 
         loop.run_epoch(dispatch_val, val_loader, vmeters, mode="val",
                        print_freq=cfg.train.print_freq, epoch=epoch,

@@ -16,6 +16,7 @@ import optax
 from jax.sharding import PartitionSpec as P
 
 from dpc_tpu.core.config import DPCConfig, EvalConfig, dtype_of
+from dpc_tpu.data import device_augment
 from dpc_tpu.models import lc
 from dpc_tpu.parallel.mesh import DATA_AXIS
 
@@ -73,6 +74,10 @@ def make_finetune_step(model_cfg: DPCConfig, eval_cfg: EvalConfig, mesh,
     def device_step(state: FinetuneState, batch, labels, key, lr_scale):
         key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
         key = jax.random.fold_in(key, state.step)
+        if eval_cfg.device_augment:
+            key, akey = jax.random.split(key)
+            batch = device_augment.finetune_augment_batch(
+                akey, batch, model_cfg.img_dim, mode="train")
         (_, (metrics, new_bn)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.state, batch,
                                    labels, key)
@@ -97,10 +102,19 @@ def make_finetune_step(model_cfg: DPCConfig, eval_cfg: EvalConfig, mesh,
 
 def make_finetune_eval_step(model_cfg: DPCConfig, eval_cfg: EvalConfig,
                             mesh):
-    """Validation: eval-mode forward (running BN stats, no dropout)."""
+    """Validation: eval-mode forward (running BN stats, no dropout).
+
+    ``key`` drives the device half of the val augmentation recipe when
+    ``device_augment`` (the reference's val transform is stochastic too:
+    crop p=.3, flip, weak jitter — ``eval/test.py:150-176``); unused
+    otherwise."""
     dtype = dtype_of(model_cfg.compute_dtype)
 
-    def device_step(params, bn_state, batch, labels):
+    def device_step(params, bn_state, batch, labels, key):
+        if eval_cfg.device_augment:
+            key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+            batch = device_augment.finetune_augment_batch(
+                key, batch, model_cfg.img_dim, mode="val")
         logits, _, _ = lc.apply_lc(
             params, bn_state, batch, cfg=model_cfg,
             num_classes=eval_cfg.num_classes, dropout=eval_cfg.dropout,
@@ -113,7 +127,7 @@ def make_finetune_eval_step(model_cfg: DPCConfig, eval_cfg: EvalConfig,
 
     sharded = jax.shard_map(
         device_step, mesh=mesh,
-        in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS)),
+        in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P()),
         out_specs=P(), check_vma=False)
     return jax.jit(sharded)
 

@@ -139,21 +139,30 @@ def config_from_args(args) -> ExperimentConfig:
     )
 
 
-def device_augment_geometry(dataset: str, img_dim: int
+def device_augment_geometry(dataset: str, img_dim: int,
+                            task: str = "pretrain"
                             ) -> tuple[int, tuple[int, int]]:
     """(short_side, window_hw) of the ``--device_augment`` host half —
     THE single source of the recipe geometry (``get_dataset``,
-    ``bench_input`` and ``bench_loop`` all route through it, so the
-    benchmarks always measure the window production uses).  Mirrors the
-    reference recipes: UCF/HMDB consistent 224-of-240 crop
-    (``dpc/main.py:116-124``), K400 a native-geometry window the device
-    RandomSizedCrop draws from (``dpc/main.py:126-133``)."""
+    ``evaluate.get_dataset``, ``bench_input`` and ``bench_loop`` all
+    route through it, so the benchmarks always measure the window
+    production uses).  Mirrors the reference recipes: UCF/HMDB pretrain
+    takes the consistent 224-of-240 crop (``dpc/main.py:116-124``); the
+    finetune recipes' RandomSizedCrop draws from the WHOLE frame
+    (``eval/test.py:121-176``), so ``task='finetune'`` keeps the full
+    4:3 geometry at short side 240; K400 is always a native-geometry
+    window the device RandomSizedCrop draws from
+    (``dpc/main.py:126-133``)."""
     if dataset == "k400":
         short = 256 if img_dim > 140 else 150
         return short, (short, int(round(short * 4 / 3)))
     if dataset == "synthetic":
         short = max(img_dim, 130)
+        if task == "finetune":
+            return short, (short, short)
         return short, (int(round(short * 224 / 240)),) * 2
+    if task == "finetune":
+        return 240, (240, 320)
     return 240, (224, 224)
 
 

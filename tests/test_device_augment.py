@@ -104,9 +104,14 @@ def _distribution_check(host_tf, precrop, recipe, src_hw, img=64, n=32):
         host_b.append(host_tf(frames, np.random.default_rng(5000 + s)))
         dev_in.append(precrop(frames, np.random.default_rng(100 + s)))
     dev = np.stack(dev_in)[:, None]  # [B, N=1, SL, H, W, C]
-    out = np.asarray(da.augment_batch(jax.random.PRNGKey(0),
-                                      jnp.asarray(dev), img,
-                                      recipe=recipe))
+    if recipe.startswith("finetune_"):
+        out = np.asarray(da.finetune_augment_batch(
+            jax.random.PRNGKey(0), jnp.asarray(dev), img,
+            mode=recipe.split("_", 1)[1]))
+    else:
+        out = np.asarray(da.augment_batch(jax.random.PRNGKey(0),
+                                          jnp.asarray(dev), img,
+                                          recipe=recipe))
     a, b, d = np.stack(host_a), np.stack(host_b), out
     assert d.shape[-3:-1] == (img, img)
     for c in range(3):
@@ -136,6 +141,53 @@ def test_device_matches_host_distribution_k400_recipe():
     precrop = A.Compose([A.Scale(150), A.PadTo(150, 200),
                          A.RandomCrop((150, 200), consistent=True)])
     _distribution_check(host_tf, precrop, "sized_crop", (150, 200))
+
+
+def test_finetune_augment_shapes_and_determinism():
+    clips = _clips(h=60, w=80)
+    for mode in ("train", "val"):
+        out = da.finetune_augment_batch(jax.random.PRNGKey(0), clips, 32,
+                                        mode=mode)
+        assert out.shape == (2, 2, 3, 32, 32, 3)
+        assert out.dtype == jnp.float32
+        out2 = da.finetune_augment_batch(jax.random.PRNGKey(0), clips, 32,
+                                         mode=mode)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_center_crop_resize_matches_host_exactly():
+    # the val recipe's crop p-miss path: CenterCrop(224) -> Scale(128)
+    # bilinear must be bit-level identical to the host ops
+    from dpc_tpu.data import augment as A
+
+    clip = (np.random.default_rng(1).integers(
+        0, 255, (3, 240, 320, 3), np.uint8).astype(np.float32) / 255.0)
+    host = A.Compose([
+        A.CenterCrop(224),
+        A.Scale(size=(128, 128), interpolation="bilinear")])(
+            clip, np.random.default_rng(0))
+    dev = np.asarray(da.center_crop_resize(jnp.asarray(clip), 224, 128))
+    np.testing.assert_allclose(host, dev, atol=2e-6)
+
+
+def test_device_matches_host_distribution_finetune_recipe():
+    # finetune train: RandomSizedCrop over the FULL frame; host window =
+    # the whole 240x320 frame (identity precrop)
+    from dpc_tpu.data import augment as A
+
+    host_tf = A.finetune_transform(64, "train")
+    precrop = A.Compose([A.Scale(240), A.PadTo(240, 320),
+                         A.RandomCrop((240, 320), consistent=True)])
+    _distribution_check(host_tf, precrop, "finetune_train", (240, 320))
+
+
+def test_device_matches_host_distribution_finetune_val_recipe():
+    from dpc_tpu.data import augment as A
+
+    host_tf = A.finetune_transform(64, "val")
+    precrop = A.Compose([A.Scale(240), A.PadTo(240, 320),
+                         A.RandomCrop((240, 320), consistent=True)])
+    _distribution_check(host_tf, precrop, "finetune_val", (240, 320))
 
 
 def test_random_gray_clip_consistent_mode():

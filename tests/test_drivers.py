@@ -56,6 +56,19 @@ def test_finetune_and_dense_test(pretrain_dir, tmp_path, capsys):
     assert os.path.exists(os.path.join(run, "confusion_matrix.svg"))
 
 
+def test_finetune_device_augment(pretrain_dir, tmp_path, capsys):
+    # --device_augment: host feeds uint8 full-geometry windows, the
+    # finetune/val recipes run inside the jitted steps
+    from dpc_tpu.train import evaluate
+
+    log_dir = str(tmp_path / "eval_da")
+    evaluate.main(TINY + ["--epochs", "1", "--log_dir", log_dir,
+                          "--pretrain", pretrain_dir,
+                          "--train_what", "ft", "--device_augment"])
+    out = capsys.readouterr().out
+    assert "Finetune from ep 0 to ep 1 finished" in out
+
+
 def test_linear_probe_freezes_trunk(pretrain_dir, tmp_path, capsys):
     from dpc_tpu.train import evaluate
 
