@@ -506,14 +506,21 @@ class HostScaleCrop:
     sources needing reflect-pad — the numpy fallback handles those).  The
     ``__call__`` fallback runs the same geometry on decoded frames
     (bilinear scale, matching the native path's resampler).
+
+    ``center=True`` places the window at the frame center with
+    ``CenterCrop``'s rounding (the deterministic dense-test host half:
+    the decoder IDCTs only the center window the test recipe keeps).
     """
 
-    def __init__(self, short: int, win_hw: tuple[int, int]):
+    def __init__(self, short: int, win_hw: tuple[int, int],
+                 center: bool = False):
         self.short = short
         self.win_h, self.win_w = win_hw
+        self.center = center
         self._scale = Scale(short, interpolation="bilinear")
         self._pad = PadTo(*win_hw)
-        self._crop = RandomCrop(win_hw, consistent=True)
+        self._crop = (CenterCrop(win_hw) if center
+                      else RandomCrop(win_hw, consistent=True))
 
     def scaled_dims(self, h: int, w: int) -> tuple[int, int]:
         return shortside_dims(h, w, self.short)
@@ -523,8 +530,12 @@ class HostScaleCrop:
         oh, ow = self.scaled_dims(*src_hw)
         if oh < self.win_h or ow < self.win_w:
             return None  # needs padding: numpy fallback
-        x1 = int(rng.integers(0, ow - self.win_w + 1))
-        y1 = int(rng.integers(0, oh - self.win_h + 1))
+        if self.center:  # CenterCrop's rounding (round-half-even)
+            x1 = int(round((ow - self.win_w) / 2.0))
+            y1 = int(round((oh - self.win_h) / 2.0))
+        else:
+            x1 = int(rng.integers(0, ow - self.win_w + 1))
+            y1 = int(rng.integers(0, oh - self.win_h + 1))
         return self.short, (y1, x1, self.win_h, self.win_w)
 
     def __call__(self, clip, rng):

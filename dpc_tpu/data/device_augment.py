@@ -179,6 +179,54 @@ def center_crop_resize(clip: jax.Array, crop_size: int,
                             antialias=False)
 
 
+def _cv2_nearest_idx(out: int, src: int) -> np.ndarray:
+    """cv2 ``INTER_NEAREST`` source indices: ``floor(i * src/out)``
+    (OpenCV's resizeNN uses ``sx = cvFloor(dx*scale_x)`` — no half-pixel
+    centering).  Matching cv2 exactly — not ``jax.image.resize``'s
+    rounding — keeps the dense-test device path bit-identical to the
+    host transform chain (pinned in tests/test_device_augment.py)."""
+    return np.minimum(np.floor(np.arange(out) * (src / out)),
+                      src - 1).astype(np.int32)
+
+
+def test_preprocess_batch(clips: jax.Array, img_dim: int, crop_size: int,
+                          five_crop: bool = False) -> jax.Array:
+    """Device half of the (deterministic) dense-test transform:
+    ``CenterCrop(crop_size)`` → ``Scale(img_dim)`` NEAREST → ``Normalize``
+    — the reference's test recipe (``eval/test.py:121-126``; 5-crop
+    variant ``eval/dataset_3d_lc.py:98-107``) executed inside the jitted
+    forward, so host workers only ROI-decode uint8 windows.
+
+    Crop and NEAREST resize are pure gathers, so they commute with the
+    uint8→f32 conversion and the device output is bit-identical to the
+    host chain (up to Normalize's documented ≤5e-7 fused-op difference,
+    PARITY.md).
+
+    clips: ``[R, N, SL, H, W, C]`` uint8.  Returns
+    ``[R*K, N, SL, D, D, C]`` f32 with K=5 when ``five_crop`` — each
+    input row's crops contiguous, riding the window axis like the host
+    FiveCrop path (the caller scales its per-video row counts by K).
+    """
+    r, n, sl, h, w, c = clips.shape
+    flat = clips.reshape(r, n * sl, h, w, c)
+    ch, cw = min(crop_size, h), min(crop_size, w)
+    if five_crop:  # host FiveCrop's corner order + center rounding
+        corners = [(0, 0), (0, w - cw), (h - ch, 0), (h - ch, w - cw),
+                   (int(round((h - ch) / 2.0)), int(round((w - cw) / 2.0)))]
+    else:  # CenterCrop's rounding
+        corners = [(int(round((h - ch) / 2.0)),
+                    int(round((w - cw) / 2.0)))]
+    iy = jnp.asarray(_cv2_nearest_idx(img_dim, ch))
+    ix = jnp.asarray(_cv2_nearest_idx(img_dim, cw))
+    outs = []
+    for y0, x0 in corners:
+        crop = flat[:, :, y0:y0 + ch, x0:x0 + cw, :]
+        outs.append(crop[:, :, iy][:, :, :, ix])  # static gathers, uint8
+    out = jnp.stack(outs, axis=1)  # [R, K, F, D, D, C]
+    out = normalize(out.astype(jnp.float32) / 255.0)
+    return out.reshape(r * len(corners), n, sl, img_dim, img_dim, c)
+
+
 def finetune_augment_batch(key: jax.Array, clips: jax.Array, img_dim: int,
                            mode: str = "train") -> jax.Array:
     """Device half of the finetune/probe recipes

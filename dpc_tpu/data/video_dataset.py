@@ -199,8 +199,15 @@ class FrameClipDataset:
                 self.downsample, self.window_stride,
                 tail_window=self.tail_window)
             nw = windows.shape[0]
-            frames = self._load_frames(record, windows)
-            clip = self.transform(frames, rng)
+            clip = None
+            if hasattr(self.transform, "plan"):
+                # --device_augment dense test: the deterministic window
+                # plan executes inside the native ROI decode, same as
+                # the train path below
+                clip = self._load_frames_planned(record, windows, rng)
+            if clip is None:
+                frames = self._load_frames(record, windows)
+                clip = self.transform(frames, rng)
             h, w, c = clip.shape[-3:]
             # multi-crop transforms (FiveCrop) return [k, T, h, w, c]:
             # crops ride the window axis (eval/dataset_3d_lc.py:117-121)

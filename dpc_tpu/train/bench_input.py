@@ -36,9 +36,11 @@ def main(argv=None) -> None:
     p.add_argument("--num_seq", default=8, type=int)
     p.add_argument("--seq_len", default=5, type=int)
     p.add_argument("--task", default="pretrain",
-                   choices=["pretrain", "finetune"],
+                   choices=["pretrain", "finetune", "test", "test_five"],
                    help="with --decode_only: which driver's host window "
-                        "to decode to (finetune = full-geometry window)")
+                        "to decode to (finetune/test_five = "
+                        "full-geometry window, test = the center 224² "
+                        "the dense test keeps)")
     p.add_argument("--batches", default=8, type=int)
     args = p.parse_args(argv)
 
@@ -53,10 +55,12 @@ def main(argv=None) -> None:
 
         short, win = device_augment_geometry(args.dataset, args.img_dim,
                                              task=args.task)
-        transform = augment.HostScaleCrop(short, win)
+        center = args.task.startswith("test")
+        transform = augment.HostScaleCrop(short, win, center=center)
         if args.no_roi:
             transform = augment.Compose([
                 augment.Scale(short), augment.PadTo(*win),
+                augment.CenterCrop(win) if center else
                 augment.RandomCrop(win, consistent=True)])
         decode_size = None
     else:

@@ -117,10 +117,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="initialise jax.distributed; each host feeds its "
                         "shard of the global batch")
     p.add_argument("--device_augment", action="store_true",
-                   help="host workers only ROI-decode full-geometry "
-                        "windows; the finetune/val crop+flip+jitter runs "
-                        "inside the jitted step (same split the pretrain "
-                        "driver has; PARITY.md #12)")
+                   help="host workers only ROI-decode uint8 windows; the "
+                        "finetune/val crop+flip+jitter runs inside the "
+                        "jitted step (same split the pretrain driver "
+                        "has; PARITY.md #12) and the dense-test "
+                        "center/5-crop recipe inside the test forward "
+                        "(bit-identical to the host chain; with "
+                        "--five_crop the forward batch is 5x "
+                        "--window_batch)")
     return p
 
 
@@ -156,17 +160,27 @@ def config_from_args(args) -> ExperimentConfig:
 def get_dataset(cfg: ExperimentConfig, mode: str, unit_test: bool = False):
     m, d = cfg.model, cfg.data
     five = cfg.eval.five_crop and mode == "test"
-    if cfg.eval.device_augment and mode in ("train", "val"):
-        # host half of the split pipeline: ROI-decode the full-geometry
-        # window (the finetune RandomSizedCrop draws from the WHOLE
-        # frame, eval/test.py:121-176, so the window is the frame at
-        # short side 240); crop/flip/jitter/normalize run in the jitted
-        # step (finetune_step → device_augment.finetune_augment_batch)
+    if cfg.eval.device_augment:
+        # host half of the split pipeline: ROI-decode only the window
+        # the device recipe needs.  train/val: the full-geometry window
+        # (the finetune RandomSizedCrop draws from the WHOLE frame,
+        # eval/test.py:121-176, so the window is the frame at short side
+        # 240), recipes in the jitted steps
+        # (device_augment.finetune_augment_batch).  test: deterministic
+        # — straight to the center 224² window (or the full geometry the
+        # 5 crops are cut from), rest in the jitted forward
+        # (device_augment.test_preprocess_batch, bit-identical to the
+        # host chain)
         from dpc_tpu.train.pretrain import device_augment_geometry
 
+        if mode == "test":
+            task = "test_five" if five else "test"
+        else:
+            task = "finetune"
         short, win = device_augment_geometry(d.dataset, m.img_dim,
-                                             task="finetune")
-        host_tf = augment.HostScaleCrop(short, win)
+                                             task=task)
+        host_tf = augment.HostScaleCrop(short, win,
+                                        center=mode == "test")
         if d.dataset == "synthetic":
             return SyntheticVideoDataset(
                 transform=host_tf, num_videos=d.synthetic_num_videos,
@@ -175,12 +189,15 @@ def get_dataset(cfg: ExperimentConfig, mode: str, unit_test: bool = False):
                 seq_len=m.seq_len, downsample=d.downsample, mode=mode,
                 return_label=True,
                 num_classes=NUM_CLASSES["synthetic"],
-                seed=2 if mode == "val" else 0)
+                seed={"val": 2, "test": 3}.get(mode, 0),
+                tail_window=d.test_tail_window)
         return make_dataset(d.dataset, d.data_root, mode, host_tf,
                             num_seq=m.num_seq, seq_len=m.seq_len,
                             downsample=d.downsample, split=d.split,
                             return_label=True, unit_test=unit_test,
-                            val_subsample=d.val_subsample)
+                            val_subsample=d.val_subsample,
+                            keep_short_test=d.test_keep_short,
+                            tail_window=d.test_tail_window)
     if d.dataset == "synthetic":
         if mode == "test":
             tf = augment.Compose([
@@ -244,7 +261,14 @@ def run_test(cfg: ExperimentConfig, params, bn_state, exp_dir: str,
     n_dev = mesh.shape[meshlib.DATA_AXIS]
     wb = window_batch or 8 * n_dev
     wb = -(-wb // n_dev) * n_dev
-    forward = finetune_step.make_test_forward_sharded(cfg.model, e, mesh)
+    # --device_augment: uint8 window rows in, the forward expands each
+    # row into its K=5 crops on device (host FiveCrop feeds crop rows
+    # directly, so K=1 there); all row accounting below scales by K
+    k_crops = 5 if (e.five_crop and e.device_augment) else 1
+    test_crop = (cfg.model.img_dim if cfg.data.dataset == "synthetic"
+                 else 224)
+    forward = finetune_step.make_test_forward_sharded(
+        cfg.model, e, mesh, test_crop=test_crop)
     confusion = ConfusionMeter(e.num_classes)
     top1s, top5s, losses = [], [], []
 
@@ -299,8 +323,8 @@ def run_test(cfg: ExperimentConfig, params, bn_state, exp_dir: str,
         if not meta:
             return
         rows = np.concatenate(buf, axis=0)
-        r = rows.shape[0]
-        n_windows += r
+        r = rows.shape[0]                # input window rows
+        n_windows += r * k_crops         # logit rows (crops ride along)
         if r < wb:  # tail batch: pad with repeats, dropped below
             rows = np.concatenate(
                 [rows, np.repeat(rows[-1:], wb - r, axis=0)])
@@ -321,9 +345,10 @@ def run_test(cfg: ExperimentConfig, params, bn_state, exp_dir: str,
         if not pending:
             return
         dev, r, metas = pending.pop()
-        logits = np.asarray(dev)[:r]
+        logits = np.asarray(dev)[:r * k_crops]
         ofs = 0
         for vid, cnt in metas:
+            cnt *= k_crops  # device 5-crop: K contiguous rows per window
             chunks.setdefault(vid, []).append(logits[ofs:ofs + cnt])
             ofs += cnt
             if sum(a.shape[0] for a in chunks[vid]) == counts[vid]:
@@ -338,7 +363,7 @@ def run_test(cfg: ExperimentConfig, params, bn_state, exp_dir: str,
         if isinstance(item, Exception):
             raise item
         vid, (clip, label) = item
-        counts[vid], labels[vid] = clip.shape[0], int(label)
+        counts[vid], labels[vid] = clip.shape[0] * k_crops, int(label)
         ofs = 0
         while ofs < clip.shape[0]:
             take = min(space, clip.shape[0] - ofs)

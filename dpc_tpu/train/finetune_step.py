@@ -149,7 +149,7 @@ def make_test_forward(model_cfg: DPCConfig, eval_cfg: EvalConfig):
 
 
 def make_test_forward_sharded(model_cfg: DPCConfig, eval_cfg: EvalConfig,
-                              mesh):
+                              mesh, test_crop: int = 224):
     """Mesh-sharded dense-test forward: one fixed ``[WB, N, SL, H, W, C]``
     window batch (windows pooled across videos) sharded over 'data'.
 
@@ -157,10 +157,19 @@ def make_test_forward_sharded(model_cfg: DPCConfig, eval_cfg: EvalConfig,
     one whole video per step on GPU0's DataParallel gather
     (``eval/test.py:314-315``), recompiling nothing but idling every
     other device whenever a video has few windows.
-    """
+
+    With ``eval_cfg.device_augment`` the batch is uint8 ROI-decoded
+    windows and the deterministic test recipe (center/5-crop → NEAREST
+    scale → normalize) runs here, bit-identically to the host chain;
+    the 5-crop variant returns ``[5*WB_local]`` rows per shard (crops
+    contiguous per window — the caller accounts rows ×5)."""
     dtype = dtype_of(model_cfg.compute_dtype)
 
     def device_fwd(params, bn_state, windows):
+        if eval_cfg.device_augment:
+            windows = device_augment.test_preprocess_batch(
+                windows, model_cfg.img_dim, test_crop,
+                five_crop=eval_cfg.five_crop)
         logits, _, _ = lc.apply_lc(
             params, bn_state, windows, cfg=model_cfg,
             num_classes=eval_cfg.num_classes, dropout=eval_cfg.dropout,

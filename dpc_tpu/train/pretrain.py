@@ -150,19 +150,25 @@ def device_augment_geometry(dataset: str, img_dim: int,
     takes the consistent 224-of-240 crop (``dpc/main.py:116-124``); the
     finetune recipes' RandomSizedCrop draws from the WHOLE frame
     (``eval/test.py:121-176``), so ``task='finetune'`` keeps the full
-    4:3 geometry at short side 240; K400 is always a native-geometry
-    window the device RandomSizedCrop draws from
+    4:3 geometry at short side 240; the dense-test recipe is
+    deterministic, so ``task='test'`` decodes straight to the center
+    224² window (``eval/test.py:121-126``) while ``task='test_five'``
+    keeps the full geometry the 5 crops are cut from
+    (``eval/dataset_3d_lc.py:98-107``); K400 is always a
+    native-geometry window the device RandomSizedCrop draws from
     (``dpc/main.py:126-133``)."""
     if dataset == "k400":
         short = 256 if img_dim > 140 else 150
         return short, (short, int(round(short * 4 / 3)))
     if dataset == "synthetic":
         short = max(img_dim, 130)
-        if task == "finetune":
+        if task in ("finetune", "test", "test_five"):
             return short, (short, short)
         return short, (int(round(short * 224 / 240)),) * 2
-    if task == "finetune":
+    if task in ("finetune", "test_five"):
         return 240, (240, 320)
+    if task == "test":
+        return 240, (224, 224)
     return 240, (224, 224)
 
 

@@ -482,3 +482,26 @@ class TestPlannedRoiDecode:
             recs, op, num_seq=2, seq_len=3, downsample=2)
         clip = ds.sample(0, np.random.default_rng(3))
         assert clip.shape == (2, 3, 150, 200, 3)
+
+    def test_planned_test_mode_center_window(self, tmp_path):
+        # dense-test --device_augment: the deterministic center plan
+        # executes inside the ROI decode for EVERY window of the video,
+        # bit-exact vs full-decode + CenterCrop on a 240-short tree
+        from dpc_tpu import native
+        if not native.available():
+            pytest.skip("native decoder unavailable")
+        recs = self._tree(tmp_path)
+        op = A.HostScaleCrop(240, (224, 224), center=True)
+        ds = video_dataset.FrameClipDataset(
+            recs, op, num_seq=2, seq_len=3, downsample=2, mode="test")
+        clip = ds.sample(0, np.random.default_rng(3))
+        assert clip.dtype == np.uint8
+        assert clip.shape[1:] == (2, 3, 224, 224, 3)
+
+        windows = shapes.test_time_windows(40, 2, 3, 2,
+                                           ds.window_stride)
+        frames = np.stack([video_dataset.load_frame(
+            ds._frame_path(recs[0], int(i)))
+            for i in np.minimum(windows.reshape(-1), 39)])
+        want = op(frames, np.random.default_rng(3)).reshape(clip.shape)
+        np.testing.assert_array_equal(clip, want)

@@ -207,3 +207,43 @@ def test_random_gray_clip_consistent_mode():
     src = np.asarray(clip)
     match = [np.allclose(out[..., 0], src[..., c]) for c in range(3)]
     assert sum(match) == 1
+
+
+def test_test_preprocess_bitexact_center():
+    # dense-test device half vs the host test chain (CenterCrop(224) ->
+    # Scale(img) NEAREST -> Normalize): crop+nearest are pure gathers,
+    # so host and device agree to Normalize's fused-op tolerance
+    from dpc_tpu.data import augment as A
+
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 255, (2, 3, 240, 320, 3), np.uint8)
+    host_tf = A.finetune_transform(32, "test")
+    host = np.stack([host_tf(f, np.random.default_rng(0))
+                     for f in frames])                     # [2, 3, 32, 32, 3]
+    dev = da.test_preprocess_batch(jnp.asarray(frames[:, None]), 32, 224)
+    np.testing.assert_allclose(host, np.asarray(dev)[:, 0], atol=2e-6)
+
+
+def test_test_preprocess_bitexact_five_crop():
+    from dpc_tpu.data import augment as A
+
+    rng = np.random.default_rng(8)
+    frames = rng.integers(0, 255, (3, 240, 320, 3), np.uint8)
+    host_tf = A.finetune_transform(32, "test", five_crop=True)
+    host = host_tf(frames, np.random.default_rng(0))       # [5, 3, 32, 32, 3]
+    dev = da.test_preprocess_batch(jnp.asarray(frames[None, None]), 32,
+                                   224, five_crop=True)    # [5, 1, 3, ...]
+    np.testing.assert_allclose(host, np.asarray(dev)[:, 0], atol=2e-6)
+
+
+def test_cv2_nearest_idx_matches_cv2():
+    # the device NEAREST resample must replicate cv2.INTER_NEAREST's
+    # index math exactly for every (src, out) the recipes hit
+    import cv2
+
+    for src, out in [(224, 128), (224, 32), (130, 32), (150, 128),
+                     (224, 224), (100, 64)]:
+        img = np.arange(src, dtype=np.uint8)[None, :, None]
+        ref = cv2.resize(img, (out, 1), interpolation=cv2.INTER_NEAREST)
+        idx = da._cv2_nearest_idx(out, src)
+        np.testing.assert_array_equal(ref.reshape(-1), idx.astype(np.uint8))

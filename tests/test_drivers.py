@@ -208,3 +208,30 @@ def test_five_crop_dense_test(tmp_path, capsys):
     m = re.search(r"\[test\] (\d+) windows / (\d+) videos", out)
     assert m, out
     assert int(m.group(1)) % 5 == 0 and int(m.group(1)) > 0
+
+
+def test_dense_test_device_augment_matches_host(tmp_path, capsys):
+    # --device_augment on the dense test is bit-identical to the host
+    # chain (crop+NEAREST are gathers), so the printed loss/top1 must
+    # agree; covers the plain center path AND the 5-crop variant
+    import re
+
+    import numpy as np
+
+    from dpc_tpu.train import evaluate
+
+    def run(extra, sub):
+        evaluate.main(TINY + ["--log_dir", str(tmp_path / sub),
+                              "--test", "random"] + extra)
+        out = capsys.readouterr().out
+        m = re.search(r"\[test\] loss ([\d.]+); top1 ([\d.]+); "
+                      r"top5 ([\d.]+)", out)
+        assert m, out
+        return tuple(float(g) for g in m.groups())
+
+    host = run([], "host")
+    dev = run(["--device_augment"], "dev")
+    np.testing.assert_allclose(host, dev, atol=2e-3)
+    host5 = run(["--five_crop"], "host5")
+    dev5 = run(["--five_crop", "--device_augment"], "dev5")
+    np.testing.assert_allclose(host5, dev5, atol=2e-3)
