@@ -160,23 +160,27 @@ def resize_fixed(clip: jax.Array, out_size: int,
 
 def center_crop_resize(clip: jax.Array, crop_size: int,
                        out_size: int) -> jax.Array:
-    """Center-crop ``crop_size``² (clamped to the frame) then bilinear
+    """Center-crop ``crop_size``² (clamped to the frame) then NEAREST
     resize to ``out_size``² — the RandomSizedCrop p-miss fallback of the
     finetune/val recipe (``CenterCrop(224)`` → ``Scale(img_dim)``,
-    reference ``eval/test.py:121-176`` via ``utils/augmentation.py``)."""
+    reference ``eval/test.py:121-176``; the reference Scale's default
+    interpolation is NEAREST, ``utils/augmentation.py:20``).
+
+    Crop origin uses ``CenterCrop``'s round-half rounding and the resize
+    replicates cv2 ``INTER_NEAREST``'s index math, so this path is
+    BIT-IDENTICAL to the host chain (both are pure gathers — they
+    commute with the uint8→f32 conversion; pinned in
+    ``tests/test_device_augment.py``)."""
     t, h, w, c = clip.shape
     ch, cw = min(crop_size, h), min(crop_size, w)
-    y0, x0 = (h - ch) // 2, (w - cw) // 2
+    y0 = int(round((h - ch) / 2.0))
+    x0 = int(round((w - cw) / 2.0))
+    # uint8-safe: crop + NEAREST are gathers, so the full window is
+    # never materialized as f32 (see finetune_augment_batch)
     clip = clip[:, y0:y0 + ch, x0:x0 + cw, :]
-    if not jnp.issubdtype(clip.dtype, jnp.floating):
-        # uint8 in: crop FIRST, convert after — converting the full
-        # window to f32 before cropping is pure wasted HBM traffic
-        clip = clip.astype(jnp.float32)
-    # antialias=False: the host path is cv2 INTER_LINEAR (2-tap, no
-    # prefilter); the default antialiased resize visibly diverges on
-    # high-frequency content
-    return jax.image.resize(clip, (t, out_size, out_size, c), "linear",
-                            antialias=False)
+    iy = jnp.asarray(_cv2_nearest_idx(out_size, ch))
+    ix = jnp.asarray(_cv2_nearest_idx(out_size, cw))
+    return clip[:, iy][:, :, ix].astype(jnp.float32)
 
 
 def _cv2_nearest_idx(out: int, src: int) -> np.ndarray:

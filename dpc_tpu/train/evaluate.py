@@ -265,10 +265,10 @@ def run_test(cfg: ExperimentConfig, params, bn_state, exp_dir: str,
     # row into its K=5 crops on device (host FiveCrop feeds crop rows
     # directly, so K=1 there); all row accounting below scales by K
     k_crops = 5 if (e.five_crop and e.device_augment) else 1
-    test_crop = (cfg.model.img_dim if cfg.data.dataset == "synthetic"
-                 else 224)
+    from dpc_tpu.train.pretrain import dense_test_crop
     forward = finetune_step.make_test_forward_sharded(
-        cfg.model, e, mesh, test_crop=test_crop)
+        cfg.model, e, mesh,
+        test_crop=dense_test_crop(cfg.data.dataset, cfg.model.img_dim))
     confusion = ConfusionMeter(e.num_classes)
     top1s, top5s, losses = [], [], []
 

@@ -167,9 +167,19 @@ def device_augment_geometry(dataset: str, img_dim: int,
         return short, (int(round(short * 224 / 240)),) * 2
     if task in ("finetune", "test_five"):
         return 240, (240, 320)
-    if task == "test":
-        return 240, (224, 224)
-    return 240, (224, 224)
+    # pretrain (host takes the consistent 224-of-240 crop) and the
+    # deterministic dense test (ROI-decode straight to the center crop)
+    # share the 224² window
+    return 240, (dense_test_crop(dataset, img_dim),) * 2
+
+
+def dense_test_crop(dataset: str, img_dim: int) -> int:
+    """Spatial crop of the dense-test recipe: the reference's fixed 224
+    (``eval/test.py:121-126``); the synthetic set's frames are only
+    ``max(img_dim, 130)`` so its recipe center-crops ``img_dim``
+    directly (no rescale).  Single source for ``run_test``'s on-device
+    ``test_preprocess_batch`` and the window geometry above."""
+    return img_dim if dataset == "synthetic" else 224
 
 
 def device_augment_window(cfg: ExperimentConfig) -> tuple[int, int]:

@@ -156,18 +156,23 @@ def test_finetune_augment_shapes_and_determinism():
 
 
 def test_center_crop_resize_matches_host_exactly():
-    # the val recipe's crop p-miss path: CenterCrop(224) -> Scale(128)
-    # bilinear must be bit-level identical to the host ops
+    # the val recipe's crop p-miss path must be bit-identical to the
+    # host ops AS THE RECIPE USES THEM: CenterCrop(224) -> Scale(128)
+    # with Scale's DEFAULT interpolation (nearest, like the reference's
+    # utils/augmentation.py:20) — crop + NEAREST are gathers, so uint8
+    # in, exact equality out.  Includes an odd-margin geometry (231) to
+    # pin CenterCrop's round-half origin.
     from dpc_tpu.data import augment as A
 
-    clip = (np.random.default_rng(1).integers(
-        0, 255, (3, 240, 320, 3), np.uint8).astype(np.float32) / 255.0)
-    host = A.Compose([
-        A.CenterCrop(224),
-        A.Scale(size=(128, 128), interpolation="bilinear")])(
-            clip, np.random.default_rng(0))
-    dev = np.asarray(da.center_crop_resize(jnp.asarray(clip), 224, 128))
-    np.testing.assert_allclose(host, dev, atol=2e-6)
+    for hw in [(240, 320), (231, 309)]:
+        clip = np.random.default_rng(1).integers(
+            0, 255, (3, *hw, 3), np.uint8)
+        host = A.Compose([
+            A.CenterCrop(224), A.Scale(size=(128, 128))])(
+                clip, np.random.default_rng(0))
+        dev = np.asarray(da.center_crop_resize(jnp.asarray(clip),
+                                               224, 128))
+        np.testing.assert_array_equal(host.astype(np.float32), dev)
 
 
 def test_device_matches_host_distribution_finetune_recipe():

@@ -7,7 +7,6 @@ docs/RESULTS.md).  R18-128 batch 32, scalar-fetch protocol.
     PYTHONPATH=/root/repo:/root/.axon_site python tools/probes/probe_ft_da.py
 """
 
-import dataclasses
 import time
 
 import jax
