@@ -18,13 +18,44 @@ device-resident inputs (the input pipeline is benchmarked separately by
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
 
+def _backend_reachable(timeout_s: int = 300) -> bool:
+    """Probe the pinned TPU backend in a bounded subprocess.
+
+    The axon tunnel on this box can go UNAVAILABLE for hours, and a dead
+    backend blocks the first `jax.devices()` touch for ~20 minutes — far
+    longer than the driver should ever wait for a failed bench.  The
+    child inherits the same sitecustomize platform pinning, so it probes
+    exactly the backend the bench would use."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            env=dict(os.environ), timeout=timeout_s,
+            capture_output=True)
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
+    if not _backend_reachable():
+        # keep the one-JSON-line contract even when the tunnel is dead
+        print(json.dumps({
+            "metric": "clips/sec/chip", "value": 0.0, "unit": "clips/s",
+            "vs_baseline": 0.0,
+            "error": "TPU backend unreachable within 300s "
+                     "(axon tunnel down); no measurement taken",
+        }))
+        return
+
     from dpc_tpu.core.config import DPCConfig, TrainConfig
     from dpc_tpu.models import dpc
     from dpc_tpu.parallel import mesh as meshlib
