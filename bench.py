@@ -46,7 +46,10 @@ def _backend_reachable(timeout_s: int = 300) -> bool:
 
 
 def main() -> None:
-    if not _backend_reachable():
+    # only the tunnelled axon backend has the hang failure mode; local
+    # TPU/CPU platforms initialize in-process without the double-init tax
+    if ("axon" in os.environ.get("JAX_PLATFORMS", "")
+            and not _backend_reachable()):
         # keep the one-JSON-line contract even when the tunnel is dead
         print(json.dumps({
             "metric": "clips/sec/chip", "value": 0.0, "unit": "clips/s",

@@ -70,6 +70,40 @@ def restore_best(mgr: ocp.CheckpointManager, template: Any
 
 
 # ---------------------------------------------------------------------------
+# Mid-epoch (step-level) checkpoints — preemption recovery beyond the
+# reference's epoch granularity (SURVEY §5 "failure detection").  Both
+# drivers route through these two helpers so the save-side step-id
+# encoding and the resume-side gate can never drift apart.
+# ---------------------------------------------------------------------------
+
+def mid_epoch_step_id(epoch: int, batch_idx: int, offset: int = 0) -> int:
+    """Monotone Orbax step id for a mid-epoch checkpoint.
+
+    ``offset`` lets the pretrain driver fold in its live TB iteration so
+    ids stay monotone when ``--steps_per_epoch`` truncates epochs; the
+    finetune driver passes 0.  100000 bounds batches/epoch, asserted at
+    save time."""
+    assert batch_idx < 100000, (
+        f"mid-epoch step id would collide: batch {batch_idx} >= 100000 "
+        "per-epoch namespace")
+    return offset + batch_idx + epoch * 100000
+
+
+def resume_mid_epoch(mgr: ocp.CheckpointManager, template: Any,
+                     start_epoch: int) -> tuple[Any, int, int]:
+    """Shared mid-epoch resume gate: the newest step-level checkpoint is
+    honored only when it is at/after the epoch-level resume point (an
+    epoch checkpoint written later supersedes stale step files).
+
+    Returns ``(payload | None, start_epoch, start_batch)`` — the first
+    batch NOT yet run, i.e. ``batch_idx + 1`` of the saved step."""
+    gstep, payload = restore_latest(mgr, template)
+    if gstep is None or int(payload["epoch"]) < start_epoch:
+        return None, start_epoch, 0
+    return payload, int(payload["epoch"]), int(payload["batch_idx"]) + 1
+
+
+# ---------------------------------------------------------------------------
 # Transfer loading (our neq_load_customized)
 # ---------------------------------------------------------------------------
 

@@ -88,34 +88,45 @@ def main(argv=None) -> None:
     loader = ClipLoader(ds, args.batch_size, num_workers=args.num_workers,
                         worker_mode=args.worker_mode)
     it = iter(loader)
+    t0, dt = time.perf_counter(), 0.0
 
     def nxt():
-        # small benchmark trees exhaust in under args.batches: cycle
-        nonlocal it
+        """Next batch, cycling the iterator with the clock paused:
+        re-warming the worker pool on a small benchmark tree is not
+        steady-state input cost (measured 5-10x understatement on a
+        24-video tree otherwise).  The batch fetched right after a
+        cycle absorbs the pool spin-up, so it comes back flagged
+        untimed and the caller must not count it."""
+        nonlocal it, t0, dt
         try:
-            return next(it)
-        except StopIteration:
-            it = iter(loader)
-            return next(it)
-
-    nxt()  # warm the pool
-    # pause the clock across iterator cycles: re-warming the worker pool
-    # on a small benchmark tree is not steady-state input cost (measured
-    # 5-10x understatement on a 24-video tree otherwise)
-    t0 = time.perf_counter()
-    n, dt = 0, 0.0
-    for _ in range(args.batches):
-        try:
-            batch = next(it)
+            return next(it), True
         except StopIteration:
             dt += time.perf_counter() - t0
             it = iter(loader)
-            batch = next(it)  # re-warm batch, untimed
+            try:
+                batch = next(it)  # re-warm batch, untimed
+            except StopIteration:
+                raise SystemExit(
+                    "loader yields zero batches (batch_size larger than "
+                    "the dataset with drop_last); shrink --batch_size or "
+                    "grow the tree")
             t0 = time.perf_counter()
-            batch = next(it)
+            return batch, False
+
+    nxt()  # warm the pool
+    t0, dt, n = time.perf_counter(), 0.0, 0
+    for _ in range(args.batches):
+        batch, timed = nxt()
+        if not timed:
+            continue  # pool re-warm batch: excluded from clips AND clock
         n += batch.shape[0] if not isinstance(batch, tuple) \
             else batch[0].shape[0]
     dt += time.perf_counter() - t0
+    if n == 0 or dt <= 0:
+        raise SystemExit(
+            "no steady-state batches measured: every epoch ended at one "
+            "batch, so all fetches were pool re-warms; shrink "
+            "--batch_size or grow the tree")
     print(json.dumps({
         "metric": "input clips/sec (host)",
         "value": round(n / dt, 2),

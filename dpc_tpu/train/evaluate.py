@@ -527,13 +527,12 @@ def main(argv=None) -> None:
         template = {"params": host.params, "bn_state": host.state,
                     "opt_state": host.opt_state, "step": host.step,
                     "epoch": 0, "batch_idx": 0, "best_acc": 0.0}
-        gstep, payload = ckpt.restore_latest(step_mgr, template)
-        if gstep is not None and int(payload["epoch"]) >= start_epoch:
+        payload, start_epoch, start_batch = ckpt.resume_mid_epoch(
+            step_mgr, template, start_epoch)
+        if payload is not None:
             state = finetune_step.FinetuneState(
                 payload["params"], payload["bn_state"],
                 payload["opt_state"], payload["step"])
-            start_epoch = int(payload["epoch"])
-            start_batch = int(payload["batch_idx"]) + 1
             best_acc = float(payload["best_acc"])
             print(f"resumed mid-epoch: epoch {start_epoch} "
                   f"batch {start_batch}")
@@ -637,7 +636,7 @@ def main(argv=None) -> None:
 
         def save_mid_epoch(ep, batch_idx):
             host = jax.device_get(state)
-            ckpt.save(step_mgr, batch_idx + ep * 100000,
+            ckpt.save(step_mgr, ckpt.mid_epoch_step_id(ep, batch_idx),
                       {"params": host.params, "bn_state": host.state,
                        "opt_state": host.opt_state, "step": host.step,
                        "epoch": ep, "batch_idx": batch_idx,

@@ -132,13 +132,23 @@ def make_finetune_eval_step(model_cfg: DPCConfig, eval_cfg: EvalConfig,
     return jax.jit(sharded)
 
 
-def make_test_forward(model_cfg: DPCConfig, eval_cfg: EvalConfig):
+def make_test_forward(model_cfg: DPCConfig, eval_cfg: EvalConfig,
+                      test_crop: int = 224):
     """Single-device jitted forward for dense test-time evaluation: the
-    window axis rides the batch axis (``eval/test.py:314-321``)."""
+    window axis rides the batch axis (``eval/test.py:314-321``).
+
+    Honors ``eval_cfg.device_augment`` identically to
+    :func:`make_test_forward_sharded` (uint8 ROI windows in, the
+    deterministic test recipe runs here), so the two forwards share one
+    input contract."""
     dtype = dtype_of(model_cfg.compute_dtype)
 
     @jax.jit
     def forward(params, bn_state, windows):
+        if eval_cfg.device_augment:
+            windows = device_augment.test_preprocess_batch(
+                windows, model_cfg.img_dim, test_crop,
+                five_crop=eval_cfg.five_crop)
         logits, _, _ = lc.apply_lc(
             params, bn_state, windows, cfg=model_cfg,
             num_classes=eval_cfg.num_classes, dropout=eval_cfg.dropout,

@@ -356,12 +356,11 @@ def main(argv=None) -> None:
         template = {"params": host.params, "opt_state": host.opt_state,
                     "step": host.step, "epoch": 0, "batch_idx": 0,
                     "best_acc": 0.0, "iteration": 0}
-        gstep, payload = ckpt.restore_latest(step_mgr, template)
-        if gstep is not None and int(payload["epoch"]) >= start_epoch:
+        payload, start_epoch, start_batch = ckpt.resume_mid_epoch(
+            step_mgr, template, start_epoch)
+        if payload is not None:
             state = pretrain_step.TrainState(
                 payload["params"], payload["opt_state"], payload["step"])
-            start_epoch = int(payload["epoch"])
-            start_batch = int(payload["batch_idx"]) + 1
             best_acc = float(payload["best_acc"])
             iteration = int(payload["iteration"])
             print(f"resumed mid-epoch: epoch {start_epoch} "
@@ -452,7 +451,9 @@ def main(argv=None) -> None:
 
         def save_mid_epoch(st, ep, batch_idx, live_iteration):
             host = jax.device_get(st)
-            ckpt.save(step_mgr, live_iteration + batch_idx + ep * 100000,
+            ckpt.save(step_mgr,
+                      ckpt.mid_epoch_step_id(ep, batch_idx,
+                                             offset=live_iteration),
                       {"params": host.params, "opt_state": host.opt_state,
                        "step": host.step, "epoch": ep,
                        "batch_idx": batch_idx, "best_acc": best_acc,

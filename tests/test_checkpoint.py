@@ -64,3 +64,55 @@ def test_transfer_load_shape_mismatch_skipped():
     out = ckpt.transfer_load(tgt, src, verbose=False)
     np.testing.assert_array_equal(np.asarray(out["backbone"]["w"]),
                                   np.zeros((2, 2)))
+
+
+# ---------------------------------------------------------------------------
+# Shared mid-epoch (step-level) helpers — both drivers route through these
+# ---------------------------------------------------------------------------
+
+def _step_payload(epoch, batch_idx, seed=0):
+    p = _payload(seed)
+    p.update(epoch=epoch, batch_idx=batch_idx)
+    return p
+
+
+def test_mid_epoch_step_id_monotone():
+    import pytest
+
+    ids = [ckpt.mid_epoch_step_id(e, b)
+           for e in range(3) for b in (0, 1, 99999)]
+    assert ids == sorted(ids) and len(set(ids)) == len(ids)
+    # the pretrain driver folds in its live TB iteration as the offset
+    assert (ckpt.mid_epoch_step_id(1, 5, offset=7)
+            == 7 + ckpt.mid_epoch_step_id(1, 5))
+    with pytest.raises(AssertionError):
+        ckpt.mid_epoch_step_id(0, 100000)
+
+
+def test_resume_mid_epoch_honors_newest_step(tmp_path):
+    mgr = ckpt.make_manager(str(tmp_path / "steps"), keep_best=False)
+    ckpt.save(mgr, ckpt.mid_epoch_step_id(2, 4), _step_payload(2, 4, seed=9))
+    payload, epoch, batch = ckpt.resume_mid_epoch(
+        mgr, jax.tree.map(jnp.zeros_like, _step_payload(0, 0)),
+        start_epoch=2)
+    assert payload is not None and epoch == 2 and batch == 5
+    assert int(payload["step"]) == 9  # the saved state came back
+
+
+def test_resume_mid_epoch_stale_step_superseded_by_epoch_ckpt(tmp_path):
+    # an epoch-level checkpoint written AFTER the step file moves
+    # start_epoch past it; the stale step payload must be ignored
+    mgr = ckpt.make_manager(str(tmp_path / "steps"), keep_best=False)
+    ckpt.save(mgr, ckpt.mid_epoch_step_id(2, 4), _step_payload(2, 4))
+    payload, epoch, batch = ckpt.resume_mid_epoch(
+        mgr, jax.tree.map(jnp.zeros_like, _step_payload(0, 0)),
+        start_epoch=3)
+    assert payload is None and epoch == 3 and batch == 0
+
+
+def test_resume_mid_epoch_empty_dir(tmp_path):
+    mgr = ckpt.make_manager(str(tmp_path / "steps"), keep_best=False)
+    payload, epoch, batch = ckpt.resume_mid_epoch(
+        mgr, jax.tree.map(jnp.zeros_like, _step_payload(0, 0)),
+        start_epoch=1)
+    assert payload is None and epoch == 1 and batch == 0

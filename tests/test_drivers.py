@@ -235,3 +235,62 @@ def test_dense_test_device_augment_matches_host(tmp_path, capsys):
     host5 = run(["--five_crop"], "host5")
     dev5 = run(["--five_crop", "--device_augment"], "dev5")
     np.testing.assert_allclose(host5, dev5, atol=2e-3)
+
+
+def test_unsharded_test_forward_device_augment_matches_host(tmp_path):
+    """make_test_forward (unsharded) honors eval_cfg.device_augment with
+    the same input contract as its sharded sibling: uint8 ROI windows in,
+    the deterministic test recipe on device, logits matching the host
+    chain (PARITY #13: crop+NEAREST scale are gathers, bit-identical)."""
+    import numpy as np
+
+    from dpc_tpu.models import lc
+    from dpc_tpu.train import evaluate, finetune_step
+    from dpc_tpu.train.pretrain import dense_test_crop
+    import jax
+
+    def build(extra):
+        args = evaluate.build_parser().parse_args(
+            TINY + ["--test", "random", "--seed", "0"] + extra)
+        return evaluate.config_from_args(args)
+
+    cfg_h, cfg_d = build([]), build(["--device_augment"])
+    params, bn_state = lc.init_lc(jax.random.PRNGKey(7), cfg_h.model,
+                                  cfg_h.eval.num_classes)
+    fwd_h = finetune_step.make_test_forward(cfg_h.model, cfg_h.eval)
+    fwd_d = finetune_step.make_test_forward(
+        cfg_d.model, cfg_d.eval,
+        test_crop=dense_test_crop(cfg_d.data.dataset, cfg_d.model.img_dim))
+
+    ds_h, ds_d = (evaluate.get_dataset(c, "test") for c in (cfg_h, cfg_d))
+    rng_h, rng_d = (np.random.default_rng(0) for _ in range(2))
+    clips_h, label_h = ds_h.sample(0, rng_h)
+    clips_d, label_d = ds_d.sample(0, rng_d)
+    assert label_h == label_d
+    assert clips_d.dtype == np.uint8, "device path must feed raw windows"
+
+    logits_h = np.asarray(fwd_h(params, bn_state, clips_h))
+    logits_d = np.asarray(fwd_d(params, bn_state, clips_d))
+    np.testing.assert_allclose(logits_h, logits_d, rtol=1e-4, atol=1e-4)
+
+
+def test_finetune_mid_epoch_resume(pretrain_dir, tmp_path, capsys):
+    """Simulated finetune preemption (the reference recipe is 300 epochs,
+    eval/test.py:33): step checkpoints exist but the epoch-end checkpoint
+    never landed → resume continues from the exact batch, through the
+    shared core/checkpoint mid-epoch helpers."""
+    import shutil
+
+    from dpc_tpu.train import evaluate
+
+    log_dir = str(tmp_path / "ftmid")
+    args = TINY + ["--log_dir", log_dir, "--pretrain", pretrain_dir,
+                   "--train_what", "last", "--save_every_steps", "2"]
+    evaluate.main(args + ["--epochs", "1"])
+    (run,) = glob.glob(os.path.join(log_dir, "*"))
+    # wipe the epoch-end checkpoints, keep the mid-epoch ones
+    shutil.rmtree(os.path.join(run, "model"))
+    capsys.readouterr()
+    evaluate.main(args + ["--epochs", "1", "--resume", run])
+    out = capsys.readouterr().out
+    assert "resumed mid-epoch: epoch 0 batch 2" in out
