@@ -39,6 +39,30 @@ def make_mesh(num_devices: int = 0, model_parallel: int = 1,
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
+def shard_key(key: jax.Array, step=None, axis: str = DATA_AXIS) -> jax.Array:
+    """Per-data-shard RNG stream, for use INSIDE a ``shard_map``'d step.
+
+    Folds the shard's ``axis_index`` (and optionally the optimizer step)
+    into the host-passed key, so:
+
+      * streams are DISTINCT across 'data' shards — otherwise every shard
+        applies the identical random augmentation/dropout to its local
+        rows (correlated noise the reference's DataParallel never has:
+        its workers draw from one host RNG sequence);
+      * streams are IDENTICAL across 'model' peers — tensor-parallel
+        replicas must see the same batch bytes and the same dropout
+        mask or their matmul shards diverge;
+      * streams are distinct across steps without the host re-seeding.
+
+    Every train/eval step (``pretrain_step``, ``finetune_step``) derives
+    its in-step randomness through this helper.
+    """
+    key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+    if step is not None:
+        key = jax.random.fold_in(key, step)
+    return key
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis (batch) sharding over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))

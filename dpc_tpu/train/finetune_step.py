@@ -18,7 +18,7 @@ from jax.sharding import PartitionSpec as P
 from dpc_tpu.core.config import DPCConfig, EvalConfig, dtype_of
 from dpc_tpu.data import device_augment
 from dpc_tpu.models import lc
-from dpc_tpu.parallel.mesh import DATA_AXIS
+from dpc_tpu.parallel.mesh import DATA_AXIS, shard_key
 
 
 class FinetuneState(NamedTuple):
@@ -72,8 +72,7 @@ def make_finetune_step(model_cfg: DPCConfig, eval_cfg: EvalConfig, mesh,
         return loss, (metrics, new_bn)
 
     def device_step(state: FinetuneState, batch, labels, key, lr_scale):
-        key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
-        key = jax.random.fold_in(key, state.step)
+        key = shard_key(key, state.step)
         if eval_cfg.device_augment:
             key, akey = jax.random.split(key)
             batch = device_augment.finetune_augment_batch(
@@ -112,7 +111,7 @@ def make_finetune_eval_step(model_cfg: DPCConfig, eval_cfg: EvalConfig,
 
     def device_step(params, bn_state, batch, labels, key):
         if eval_cfg.device_augment:
-            key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+            key = shard_key(key)
             batch = device_augment.finetune_augment_batch(
                 key, batch, model_cfg.img_dim, mode="val")
         logits, _, _ = lc.apply_lc(

@@ -32,7 +32,7 @@ from dpc_tpu.core.config import DPCConfig, TrainConfig, dtype_of
 from dpc_tpu.data import device_augment
 from dpc_tpu.models import dpc
 from dpc_tpu.ops import nce, nce_pallas, sharded_nce
-from dpc_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from dpc_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, shard_key
 
 Params = Any
 
@@ -147,8 +147,7 @@ def make_pretrain_step(model_cfg: DPCConfig, train_cfg: TrainConfig,
         return nce.nce_loss(score, local_targets)
 
     def device_step(state: TrainState, batch, key):
-        key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
-        key = jax.random.fold_in(key, state.step)
+        key = shard_key(key, state.step)
         if train_cfg.device_augment:
             key, akey = jax.random.split(key)
             batch = device_augment.augment_batch(
@@ -189,7 +188,7 @@ def make_eval_step(model_cfg: DPCConfig, train_cfg: TrainConfig, mesh):
 
     def device_step(params, batch, key):
         if train_cfg.device_augment:
-            key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+            key = shard_key(key)
             batch = device_augment.augment_batch(
                 key, batch, model_cfg.img_dim,
                 recipe=train_cfg.device_augment_recipe)

@@ -294,3 +294,18 @@ def test_finetune_mid_epoch_resume(pretrain_dir, tmp_path, capsys):
     evaluate.main(args + ["--epochs", "1", "--resume", run])
     out = capsys.readouterr().out
     assert "resumed mid-epoch: epoch 0 batch 2" in out
+
+
+def test_pretrain_device_augment(tmp_path, capsys):
+    """Pretrain --device_augment end-to-end: the host feeds uint8
+    geometry-only windows, the UCF-style recipe (crop/flip/jitter/gray +
+    normalize) runs inside the jitted sharded step, and training
+    proceeds to a finite loss (the finetune/dense-test analogues live
+    above; this pins the third driver path)."""
+    from dpc_tpu.train import pretrain
+
+    log_dir = str(tmp_path / "preda")
+    pretrain.main(TINY + ["--pred_step", "1", "--epochs", "1",
+                          "--log_dir", log_dir, "--device_augment"])
+    out = capsys.readouterr().out
+    assert "epoch 0" in out and "nan" not in out.lower()

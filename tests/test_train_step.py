@@ -227,3 +227,31 @@ def test_model_parallel_requires_global_negatives(setup):
     tx = optim.pretrain_optimizer(params, tcfg.lr, tcfg.wd)
     with pytest.raises(ValueError, match="negatives global"):
         pretrain_step.make_pretrain_step(CFG, tcfg, mp_mesh, tx)
+
+
+def test_shard_key_streams():
+    """The per-shard RNG contract every in-step draw (device_augment,
+    dropout) relies on (``parallel/mesh.shard_key``): DISTINCT across
+    'data' shards, IDENTICAL across 'model' peers (tensor-parallel
+    replicas must see the same batch bytes), distinct across steps."""
+    from jax.sharding import PartitionSpec as P
+
+    m = meshlib.make_mesh(8, model_parallel=2)  # {data: 4, model: 2}
+
+    def draw(step):
+        def fn(key):
+            k = meshlib.shard_key(key, step)
+            return jax.random.uniform(k, (1,))
+        out = jax.jit(jax.shard_map(
+            fn, mesh=m, in_specs=P(),
+            out_specs=P((meshlib.DATA_AXIS, meshlib.MODEL_AXIS)),
+            check_vma=False))(jax.random.PRNGKey(0))
+        # device grid is [data, model] row-major: row d holds peers
+        # (2d, 2d+1)
+        return np.asarray(out).reshape(4, 2)
+
+    v3 = draw(jnp.uint32(3))
+    np.testing.assert_array_equal(v3[:, 0], v3[:, 1])  # model peers agree
+    assert len(set(v3[:, 0].tolist())) == 4            # data shards differ
+    v4 = draw(jnp.uint32(4))
+    assert not np.any(v3 == v4)                        # steps decorrelate
