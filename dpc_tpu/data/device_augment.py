@@ -33,6 +33,49 @@ IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 
 
+def device_augment_geometry(dataset: str, img_dim: int,
+                            task: str = "pretrain"
+                            ) -> tuple[int, tuple[int, int]]:
+    """(short_side, window_hw) of the ``--device_augment`` host half —
+    THE single source of the recipe geometry (``pretrain.get_dataset``,
+    ``evaluate.get_dataset``, ``bench_input`` and ``bench_loop`` all
+    route through it, so the benchmarks always measure the window
+    production uses).  Mirrors the reference recipes: UCF/HMDB pretrain
+    takes the consistent 224-of-240 crop (``dpc/main.py:116-124``); the
+    finetune recipes' RandomSizedCrop draws from the WHOLE frame
+    (``eval/test.py:121-176``), so ``task='finetune'`` keeps the full
+    4:3 geometry at short side 240; the dense-test recipe is
+    deterministic, so ``task='test'`` decodes straight to the center
+    224² window (``eval/test.py:121-126``) while ``task='test_five'``
+    keeps the full geometry the 5 crops are cut from
+    (``eval/dataset_3d_lc.py:98-107``); K400 is always a
+    native-geometry window the device RandomSizedCrop draws from
+    (``dpc/main.py:126-133``)."""
+    if dataset == "k400":
+        short = 256 if img_dim > 140 else 150
+        return short, (short, int(round(short * 4 / 3)))
+    if dataset == "synthetic":
+        short = max(img_dim, 130)
+        if task in ("finetune", "test", "test_five"):
+            return short, (short, short)
+        return short, (int(round(short * 224 / 240)),) * 2
+    if task in ("finetune", "test_five"):
+        return 240, (240, 320)
+    # pretrain (host takes the consistent 224-of-240 crop) and the
+    # deterministic dense test (ROI-decode straight to the center crop)
+    # share the 224² window
+    return 240, (dense_test_crop(dataset, img_dim),) * 2
+
+
+def dense_test_crop(dataset: str, img_dim: int) -> int:
+    """Spatial crop of the dense-test recipe: the reference's fixed 224
+    (``eval/test.py:121-126``); the synthetic set's frames are only
+    ``max(img_dim, 130)`` so its recipe center-crops ``img_dim``
+    directly (no rescale).  Single source for ``run_test``'s on-device
+    ``test_preprocess_batch`` and the window geometry above."""
+    return img_dim if dataset == "synthetic" else 224
+
+
 def _lin_weights(coords: jax.Array, src: int) -> jax.Array:
     """[out, src] 2-tap bilinear sampling matrix for source coordinates
     ``coords`` (border-clamped).  Row i holds weights ``1-frac``/``frac``

@@ -51,7 +51,7 @@ def main(argv=None) -> None:
         # the --device_augment host profile: short-side scale + window,
         # executed INSIDE the native ROI decode (augment.HostScaleCrop;
         # --no_roi forces the old full-decode + numpy-slice path for A/B)
-        from dpc_tpu.train.pretrain import device_augment_geometry
+        from dpc_tpu.data.device_augment import device_augment_geometry
 
         short, win = device_augment_geometry(args.dataset, args.img_dim,
                                              task=args.task)

@@ -53,6 +53,24 @@ class CachedLoader:
             yield self.batch
 
 
+def _host_batch(args, m: DPCConfig) -> np.ndarray:
+    """One host batch matching what the compiled step expects: uint8
+    pre-crop windows with the recipe's geometry under --device_augment
+    (the same contract for the cached AND device sources — benchmarking
+    the DA step on f32 img_dim² noise would measure a path production
+    never runs), f32 final-dim clips otherwise."""
+    if args.device_augment:
+        from dpc_tpu.data.device_augment import device_augment_geometry
+
+        _, (wh, ww) = device_augment_geometry("synthetic", args.img_dim)
+        return np.random.default_rng(0).integers(
+            0, 255, (args.batch_size, m.num_seq, m.seq_len, wh, ww, 3),
+            np.uint8)
+    return np.random.default_rng(0).normal(size=(
+        args.batch_size, m.num_seq, m.seq_len, args.img_dim,
+        args.img_dim, 3)).astype(np.float32)
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--batch_size", default=64, type=int)
@@ -100,25 +118,11 @@ def main(argv=None) -> None:
         # + metric fetch policy) from both host decode and the tunnel/PCIe
         # transfer.  With --sync (the round-2 per-step float()) every step
         # pays a host<->device round-trip; the drain hides it.
-        batch = np.random.default_rng(0).normal(size=(
-            args.batch_size, m.num_seq, m.seq_len, args.img_dim,
-            args.img_dim, 3)).astype(np.float32)
+        batch = _host_batch(args, m)
         xb_dev = meshlib.shard_batch(mesh, jnp.asarray(batch))
         loader = CachedLoader(xb_dev, args.steps + 5)
     elif args.source == "cached":
-        if args.device_augment:
-            from dpc_tpu.train.pretrain import device_augment_geometry
-
-            _, (wh, ww) = device_augment_geometry("synthetic",
-                                                  args.img_dim)
-            batch = np.random.default_rng(0).integers(
-                0, 255, (args.batch_size, m.num_seq, m.seq_len, wh, ww,
-                         3), np.uint8)
-        else:
-            batch = np.random.default_rng(0).normal(size=(
-                args.batch_size, m.num_seq, m.seq_len, args.img_dim,
-                args.img_dim, 3)).astype(np.float32)
-        loader = CachedLoader(batch, args.steps + 5)
+        loader = CachedLoader(_host_batch(args, m), args.steps + 5)
     else:
         from dpc_tpu.core.config import DataConfig, ExperimentConfig
         from dpc_tpu.data.loader import ClipLoader

@@ -171,7 +171,7 @@ def get_dataset(cfg: ExperimentConfig, mode: str, unit_test: bool = False):
         # 5 crops are cut from), rest in the jitted forward
         # (device_augment.test_preprocess_batch, bit-identical to the
         # host chain)
-        from dpc_tpu.train.pretrain import device_augment_geometry
+        from dpc_tpu.data.device_augment import device_augment_geometry
 
         if mode == "test":
             task = "test_five" if five else "test"
@@ -265,7 +265,7 @@ def run_test(cfg: ExperimentConfig, params, bn_state, exp_dir: str,
     # row into its K=5 crops on device (host FiveCrop feeds crop rows
     # directly, so K=1 there); all row accounting below scales by K
     k_crops = 5 if (e.five_crop and e.device_augment) else 1
-    from dpc_tpu.train.pretrain import dense_test_crop
+    from dpc_tpu.data.device_augment import dense_test_crop
     forward = finetune_step.make_test_forward_sharded(
         cfg.model, e, mesh,
         test_crop=dense_test_crop(cfg.data.dataset, cfg.model.img_dim))
@@ -544,7 +544,7 @@ def main(argv=None) -> None:
     # (recompute activations in the backward) — same fallback as pretrain
     if not e.remat:
         if e.device_augment:
-            from dpc_tpu.train.pretrain import device_augment_geometry
+            from dpc_tpu.data.device_augment import device_augment_geometry
 
             _, (wh, ww) = device_augment_geometry(
                 cfg.data.dataset, m.img_dim, task="finetune")
@@ -635,12 +635,24 @@ def main(argv=None) -> None:
             return metrics
 
         def save_mid_epoch(ep, batch_idx):
+            sid = ckpt.mid_epoch_step_id(ep, batch_idx)
+            if step_mgr.latest_step() == sid:
+                return  # val-time preemption re-requesting a train save
             host = jax.device_get(state)
-            ckpt.save(step_mgr, ckpt.mid_epoch_step_id(ep, batch_idx),
+            ckpt.save(step_mgr, sid,
                       {"params": host.params, "bn_state": host.state,
                        "opt_state": host.opt_state, "step": host.step,
                        "epoch": ep, "batch_idx": batch_idx,
                        "best_acc": best_acc})
+
+        # a preemption during VAL must still persist the finished train
+        # epoch: save at the end-of-train-epoch position, so resume skips
+        # the (already-run) train batches and lands in val + epoch save
+        train_done = (min(len(train_loader), args.steps_per_epoch)
+                      if args.steps_per_epoch else len(train_loader))
+
+        def save_from_val(ep, _val_idx):
+            save_mid_epoch(ep, train_done - 1)
 
         loop.run_epoch(
             dispatch_train, train_loader, meters, mode="train",
@@ -660,7 +672,9 @@ def main(argv=None) -> None:
 
         loop.run_epoch(dispatch_val, val_loader, vmeters, mode="val",
                        print_freq=cfg.train.print_freq, epoch=epoch,
-                       max_steps=args.steps_per_epoch, train=False)
+                       max_steps=args.steps_per_epoch, train=False,
+                       step_save_fn=save_from_val if step_mgr else None,
+                       guard=guard)
         tr, va = meters.averages(), vmeters.averages()
         print(f"epoch {epoch}: train top1 {tr.get('top1', 0):.4f} | "
               f"val top1 {va.get('top1', 0):.4f}")
@@ -678,6 +692,8 @@ def main(argv=None) -> None:
                    "opt_state": host.opt_state, "step": host.step,
                    "best_acc": best_acc},
                   metrics={"val_acc": val_acc})
+    if guard is not None:
+        guard.uninstall()  # post-training code is interruptible again
     print(f"Finetune from ep {start_epoch} to ep {e.epochs} finished; "
           f"best val top1 {best_acc:.4f}")
 

@@ -84,9 +84,15 @@ def run_epoch(dispatch, loader, meters, *, mode: str = "train",
         p_idx, dev_metrics, rows = entry
         metrics = {k: float(v) for k, v in dev_metrics.items()}
         if not math.isfinite(metrics.get("loss", 0.0)):
-            raise FloatingPointError(
-                f"non-finite loss at epoch {epoch} step {p_idx}: "
-                f"{metrics} — rerun with --debug_nans to locate the op")
+            if train:
+                raise FloatingPointError(
+                    f"non-finite loss at epoch {epoch} step {p_idx}: "
+                    f"{metrics} — rerun with --debug_nans to locate the op")
+            # a stray non-finite VAL batch must not kill a finished train
+            # epoch before its checkpoint lands; the reference's validate
+            # just averages whatever it got (eval/test.py:278-301)
+            print(f"[{mode}] WARNING: non-finite loss at epoch {epoch} "
+                  f"step {p_idx}: {metrics}")
         meters.update(metrics, n=rows)
         if p_idx % print_freq == 0:
             dt = time.time() - tic
@@ -117,8 +123,12 @@ def run_epoch(dispatch, loader, meters, *, mode: str = "train",
             drain(pending)
         pending = (idx, metrics, _rows_of(batch))
         preempted = guard is not None and guard.requested
-        if (train and step_save_fn is not None
-                and (preempted or (save_every_steps
+        # val epochs save only on preemption (the caller's step_save_fn
+        # closure decides what to persist — typically the train state at
+        # end-of-train-epoch position, so resume skips straight to val);
+        # periodic saves are train-only
+        if (step_save_fn is not None
+                and (preempted or (train and save_every_steps
                                    and (idx + 1) % save_every_steps == 0))):
             # the checkpoint persists step idx's parameter update:
             # finite-check THIS step (not just the lagging pending one)

@@ -28,6 +28,10 @@ from dpc_tpu.core import checkpoint as ckpt
 from dpc_tpu.core.config import (DataConfig, DPCConfig, ExperimentConfig,
                                  TrainConfig, experiment_name)
 from dpc_tpu.data import augment
+# geometry contracts live beside the recipes they parameterize; re-exported
+# here (their original home) for drivers/benchmarks/tests importing both ways
+from dpc_tpu.data.device_augment import (  # noqa: F401
+    dense_test_crop, device_augment_geometry)
 from dpc_tpu.data.loader import ClipLoader
 from dpc_tpu.data.synthetic import SyntheticVideoDataset
 from dpc_tpu.data.video_dataset import make_dataset
@@ -137,49 +141,6 @@ def config_from_args(args) -> ExperimentConfig:
                               else "crop_resize"),
                           remat=args.remat),
     )
-
-
-def device_augment_geometry(dataset: str, img_dim: int,
-                            task: str = "pretrain"
-                            ) -> tuple[int, tuple[int, int]]:
-    """(short_side, window_hw) of the ``--device_augment`` host half —
-    THE single source of the recipe geometry (``get_dataset``,
-    ``evaluate.get_dataset``, ``bench_input`` and ``bench_loop`` all
-    route through it, so the benchmarks always measure the window
-    production uses).  Mirrors the reference recipes: UCF/HMDB pretrain
-    takes the consistent 224-of-240 crop (``dpc/main.py:116-124``); the
-    finetune recipes' RandomSizedCrop draws from the WHOLE frame
-    (``eval/test.py:121-176``), so ``task='finetune'`` keeps the full
-    4:3 geometry at short side 240; the dense-test recipe is
-    deterministic, so ``task='test'`` decodes straight to the center
-    224² window (``eval/test.py:121-126``) while ``task='test_five'``
-    keeps the full geometry the 5 crops are cut from
-    (``eval/dataset_3d_lc.py:98-107``); K400 is always a
-    native-geometry window the device RandomSizedCrop draws from
-    (``dpc/main.py:126-133``)."""
-    if dataset == "k400":
-        short = 256 if img_dim > 140 else 150
-        return short, (short, int(round(short * 4 / 3)))
-    if dataset == "synthetic":
-        short = max(img_dim, 130)
-        if task in ("finetune", "test", "test_five"):
-            return short, (short, short)
-        return short, (int(round(short * 224 / 240)),) * 2
-    if task in ("finetune", "test_five"):
-        return 240, (240, 320)
-    # pretrain (host takes the consistent 224-of-240 crop) and the
-    # deterministic dense test (ROI-decode straight to the center crop)
-    # share the 224² window
-    return 240, (dense_test_crop(dataset, img_dim),) * 2
-
-
-def dense_test_crop(dataset: str, img_dim: int) -> int:
-    """Spatial crop of the dense-test recipe: the reference's fixed 224
-    (``eval/test.py:121-126``); the synthetic set's frames are only
-    ``max(img_dim, 130)`` so its recipe center-crops ``img_dim``
-    directly (no rescale).  Single source for ``run_test``'s on-device
-    ``test_preprocess_batch`` and the window geometry above."""
-    return img_dim if dataset == "synthetic" else 224
 
 
 def device_augment_window(cfg: ExperimentConfig) -> tuple[int, int]:
@@ -450,14 +411,25 @@ def main(argv=None) -> None:
         from dpc_tpu.utils.profiling import trace
 
         def save_mid_epoch(st, ep, batch_idx, live_iteration):
+            sid = ckpt.mid_epoch_step_id(ep, batch_idx,
+                                         offset=live_iteration)
+            if step_mgr.latest_step() == sid:
+                return  # val-time preemption re-requesting a train save
             host = jax.device_get(st)
-            ckpt.save(step_mgr,
-                      ckpt.mid_epoch_step_id(ep, batch_idx,
-                                             offset=live_iteration),
+            ckpt.save(step_mgr, sid,
                       {"params": host.params, "opt_state": host.opt_state,
                        "step": host.step, "epoch": ep,
                        "batch_idx": batch_idx, "best_acc": best_acc,
                        "iteration": live_iteration})
+
+        # a preemption during VAL must still persist the finished train
+        # epoch: save at the end-of-train-epoch position, so resume skips
+        # the (already-run) train batches and lands in val + epoch save
+        train_done = (min(len(train_loader), args.steps_per_epoch)
+                      if args.steps_per_epoch else len(train_loader))
+
+        def save_from_val(st, ep, _val_idx, live_iteration):
+            save_mid_epoch(st, ep, train_done - 1, live_iteration)
 
         with trace(args.profile if epoch == start_epoch else None):
             state, meters, iteration = run_epoch(
@@ -471,8 +443,9 @@ def main(argv=None) -> None:
         _, vmeters, _ = run_epoch(
             step_fn, state, val_loader, mesh, ekey, train=False,
             eval_fn=eval_fn, params_for_eval=state.params,
-            print_freq=t.print_freq, epoch=epoch,
-            max_steps=args.steps_per_epoch)
+            print_freq=t.print_freq, epoch=epoch, iteration=iteration,
+            max_steps=args.steps_per_epoch,
+            step_save_fn=save_from_val if step_mgr else None, guard=guard)
 
         tr, va = meters.local_averages(), vmeters.local_averages()
         print(f"epoch {epoch}: train loss {tr.get('loss', 0):.4f} "
@@ -493,6 +466,8 @@ def main(argv=None) -> None:
                    "step": host_state.step,
                    "best_acc": best_acc, "iteration": iteration},
                   metrics={"val_acc": val_acc})
+    if guard is not None:
+        guard.uninstall()  # post-training code is interruptible again
     print(f"Training from ep {start_epoch} to ep {t.epochs} finished")
 
 

@@ -246,7 +246,7 @@ def test_unsharded_test_forward_device_augment_matches_host(tmp_path):
 
     from dpc_tpu.models import lc
     from dpc_tpu.train import evaluate, finetune_step
-    from dpc_tpu.train.pretrain import dense_test_crop
+    from dpc_tpu.data.device_augment import dense_test_crop
     import jax
 
     def build(extra):
@@ -309,3 +309,56 @@ def test_pretrain_device_augment(tmp_path, capsys):
                           "--log_dir", log_dir, "--device_augment"])
     out = capsys.readouterr().out
     assert "epoch 0" in out and "nan" not in out.lower()
+
+
+def test_val_phase_preemption_checkpoint(tmp_path, capsys):
+    """SIGTERM arriving DURING the val epoch: the train epoch's state is
+    checkpointed at its end-of-epoch position and the process exits
+    within one val step (no periodic save fires here — save_every_steps
+    is set beyond the epoch length, so the written checkpoint can only
+    come from the val-phase guard); resume skips the already-run train
+    batches and completes the epoch."""
+    import subprocess
+    import sys
+    import time as _time
+
+    from dpc_tpu.train import pretrain
+
+    log_dir = str(tmp_path / "valpre")
+    args = TINY + ["--pred_step", "1", "--save_every_steps", "50",
+                   "--log_dir", log_dir]
+    code = f"""
+import jax; jax.config.update("jax_platforms", "cpu")
+import os
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \\
+    " --xla_force_host_platform_device_count=8"
+from dpc_tpu.train import pretrain
+pretrain.main({args!r} + ["--epochs", "50"])
+"""
+    proc = subprocess.Popen([sys.executable, "-c", code],
+                            stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True,
+                            cwd="/root/repo")
+    saw_val = False
+    t0 = _time.time()
+    lines = []
+    while _time.time() - t0 < 600:
+        line = proc.stdout.readline()
+        lines.append(line)
+        if "[val] epoch 0 [" in line:
+            saw_val = True
+            proc.send_signal(15)  # SIGTERM mid-val
+            break
+    assert saw_val, "".join(lines[-20:])
+    out, _ = proc.communicate(timeout=600)
+    assert "[preemption] checkpointed and exiting" in out, out[-2000:]
+    assert "epoch 0: train loss" not in out  # epoch did NOT complete
+
+    (exp,) = glob.glob(os.path.join(log_dir, "*"))
+    assert glob.glob(os.path.join(exp, "model_steps", "*"))
+    capsys.readouterr()
+    pretrain.main(args + ["--epochs", "1", "--resume", exp])
+    res = capsys.readouterr().out
+    # steps_per_epoch=2 -> end-of-train position is batch 2
+    assert "resumed mid-epoch: epoch 0 batch 2" in res
+    assert "Training from ep 0 to ep 1 finished" in res
