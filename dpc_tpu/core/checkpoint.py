@@ -41,11 +41,20 @@ def make_manager(directory: str, max_to_keep: int = 1,
 
 
 def save(mgr: ocp.CheckpointManager, epoch: int, payload: Any,
-         metrics: Optional[dict] = None) -> None:
-    """Save a checkpoint for ``epoch`` (blocking)."""
+         metrics: Optional[dict] = None, block: bool = True) -> None:
+    """Save a checkpoint for ``epoch``.
+
+    ``block=False`` returns as soon as the (already host-side) payload is
+    handed to Orbax's async writer, so a periodic mid-epoch save never
+    stalls the train loop for the serialize+write time; Orbax itself
+    back-pressures (a new save waits for the previous one).  Callers that
+    exit right after — preemption saves, epoch-end saves — must block, and
+    the drivers flush in-flight writes (``mgr.wait_until_finished``) when
+    the epoch loop ends."""
     mgr.save(epoch, args=ocp.args.StandardSave(payload),
              metrics={k: float(v) for k, v in (metrics or {}).items()})
-    mgr.wait_until_finished()
+    if block:
+        mgr.wait_until_finished()
 
 
 def restore_latest(mgr: ocp.CheckpointManager, template: Any

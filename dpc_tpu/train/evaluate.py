@@ -634,7 +634,7 @@ def main(argv=None) -> None:
                                      jnp.float32(lr_scale))
             return metrics
 
-        def save_mid_epoch(ep, batch_idx):
+        def save_mid_epoch(ep, batch_idx, block=True):
             sid = ckpt.mid_epoch_step_id(ep, batch_idx)
             if step_mgr.latest_step() == sid:
                 return  # val-time preemption re-requesting a train save
@@ -643,7 +643,7 @@ def main(argv=None) -> None:
                       {"params": host.params, "bn_state": host.state,
                        "opt_state": host.opt_state, "step": host.step,
                        "epoch": ep, "batch_idx": batch_idx,
-                       "best_acc": best_acc})
+                       "best_acc": best_acc}, block=block)
 
         # a preemption during VAL must still persist the finished train
         # epoch: save at the end-of-train-epoch position, so resume skips
@@ -651,8 +651,8 @@ def main(argv=None) -> None:
         train_done = (min(len(train_loader), args.steps_per_epoch)
                       if args.steps_per_epoch else len(train_loader))
 
-        def save_from_val(ep, _val_idx):
-            save_mid_epoch(ep, train_done - 1)
+        def save_from_val(ep, _val_idx, block=True):
+            save_mid_epoch(ep, train_done - 1, block=block)
 
         loop.run_epoch(
             dispatch_train, train_loader, meters, mode="train",
@@ -694,6 +694,8 @@ def main(argv=None) -> None:
                   metrics={"val_acc": val_acc})
     if guard is not None:
         guard.uninstall()  # post-training code is interruptible again
+    if step_mgr is not None:
+        step_mgr.wait_until_finished()  # flush in-flight async step saves
     print(f"Finetune from ep {start_epoch} to ep {e.epochs} finished; "
           f"best val top1 {best_acc:.4f}")
 

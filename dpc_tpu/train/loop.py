@@ -136,7 +136,10 @@ def run_epoch(dispatch, loader, meters, *, mode: str = "train",
             # resumed from — drain raises on non-finite loss
             drain(pending)
             pending = None
-            step_save_fn(epoch, idx)
+            # periodic saves may hand off to Orbax's async writer (the
+            # loop keeps stepping while the write lands); a preemption
+            # save must be on disk before the SystemExit below
+            step_save_fn(epoch, idx, block=preempted)
         if preempted:
             if pending is not None:
                 drain(pending)

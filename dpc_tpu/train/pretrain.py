@@ -229,11 +229,12 @@ def run_epoch(step_fn, state, loader, mesh, key, *, train: bool,
                               box["iteration"])
             box["iteration"] += 1
 
-    def save_fn(ep, batch_idx):
+    def save_fn(ep, batch_idx, block=True):
         # pass the LIVE state/iteration: the caller's copies only advance
         # when this function returns, and persisting a stale iteration
         # rewinds the TB scalar axis on mid-epoch resume
-        step_save_fn(box["state"], ep, batch_idx, box["iteration"])
+        step_save_fn(box["state"], ep, batch_idx, box["iteration"],
+                     block=block)
 
     loop.run_epoch(dispatch, loader, meters,
                    mode="train" if train else "val",
@@ -410,7 +411,7 @@ def main(argv=None) -> None:
 
         from dpc_tpu.utils.profiling import trace
 
-        def save_mid_epoch(st, ep, batch_idx, live_iteration):
+        def save_mid_epoch(st, ep, batch_idx, live_iteration, block=True):
             sid = ckpt.mid_epoch_step_id(ep, batch_idx,
                                          offset=live_iteration)
             if step_mgr.latest_step() == sid:
@@ -420,7 +421,7 @@ def main(argv=None) -> None:
                       {"params": host.params, "opt_state": host.opt_state,
                        "step": host.step, "epoch": ep,
                        "batch_idx": batch_idx, "best_acc": best_acc,
-                       "iteration": live_iteration})
+                       "iteration": live_iteration}, block=block)
 
         # a preemption during VAL must still persist the finished train
         # epoch: save at the end-of-train-epoch position, so resume skips
@@ -428,8 +429,9 @@ def main(argv=None) -> None:
         train_done = (min(len(train_loader), args.steps_per_epoch)
                       if args.steps_per_epoch else len(train_loader))
 
-        def save_from_val(st, ep, _val_idx, live_iteration):
-            save_mid_epoch(st, ep, train_done - 1, live_iteration)
+        def save_from_val(st, ep, _val_idx, live_iteration, block=True):
+            save_mid_epoch(st, ep, train_done - 1, live_iteration,
+                           block=block)
 
         with trace(args.profile if epoch == start_epoch else None):
             state, meters, iteration = run_epoch(
@@ -468,6 +470,8 @@ def main(argv=None) -> None:
                   metrics={"val_acc": val_acc})
     if guard is not None:
         guard.uninstall()  # post-training code is interruptible again
+    if step_mgr is not None:
+        step_mgr.wait_until_finished()  # flush in-flight async step saves
     print(f"Training from ep {start_epoch} to ep {t.epochs} finished")
 
 

@@ -116,3 +116,17 @@ def test_resume_mid_epoch_empty_dir(tmp_path):
         mgr, jax.tree.map(jnp.zeros_like, _step_payload(0, 0)),
         start_epoch=1)
     assert payload is None and epoch == 1 and batch == 0
+
+
+def test_async_save_lands_after_flush(tmp_path):
+    """block=False hands the payload to Orbax's async writer (the train
+    loop keeps stepping); wait_until_finished flushes it to disk intact —
+    the drivers call that at loop end and Orbax back-pressures a new
+    save on the previous one."""
+    mgr = ckpt.make_manager(str(tmp_path / "steps"), keep_best=False)
+    ckpt.save(mgr, 1, _payload(3), block=False)
+    ckpt.save(mgr, 2, _payload(7), block=False)  # back-pressures on #1
+    mgr.wait_until_finished()
+    step, p = ckpt.restore_latest(
+        mgr, jax.tree.map(jnp.zeros_like, _payload(0)))
+    assert step == 2 and int(p["step"]) == 7

@@ -50,8 +50,8 @@ def test_val_preemption_saves_and_exits():
         loop.run_epoch(_dispatch([1.0] * 4), _loader(4), MetricBundle(),
                        mode="val", train=False, epoch=3,
                        guard=_Guard(requested=True),
-                       step_save_fn=lambda ep, idx: saved.append(ep))
-    assert saved == [3]
+                       step_save_fn=lambda ep, idx, block: saved.append((ep, block)))
+    assert saved == [(3, True)]  # preemption saves block
 
 
 def test_val_never_saves_periodically():
@@ -60,7 +60,7 @@ def test_val_never_saves_periodically():
     saved = []
     loop.run_epoch(_dispatch([1.0] * 4), _loader(4), MetricBundle(),
                    mode="val", train=False, guard=_Guard(),
-                   step_save_fn=lambda ep, idx: saved.append(idx),
+                   step_save_fn=lambda ep, idx, block: saved.append(idx),
                    save_every_steps=1)
     assert saved == []
 
@@ -70,5 +70,18 @@ def test_train_preemption_still_saves():
     with pytest.raises(SystemExit, match="preemption"):
         loop.run_epoch(_dispatch([1.0] * 4), _loader(4), MetricBundle(),
                        train=True, guard=_Guard(requested=True),
-                       step_save_fn=lambda ep, idx: saved.append(idx))
-    assert saved == [0]
+                       step_save_fn=lambda ep, idx, block: saved.append((idx, block)))
+    assert saved == [(0, True)]  # preemption saves block
+
+
+def test_train_periodic_save_is_async():
+    """Periodic mid-epoch saves hand off to Orbax's async writer
+    (block=False) so the loop never stalls for the write; only
+    preemption saves block."""
+    saved = []
+    loop.run_epoch(_dispatch([1.0] * 4), _loader(4), MetricBundle(),
+                   train=True, guard=_Guard(),
+                   step_save_fn=lambda ep, idx, block: saved.append(
+                       (idx, block)),
+                   save_every_steps=2)
+    assert saved == [(1, False), (3, False)]

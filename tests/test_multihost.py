@@ -117,7 +117,7 @@ from dpc_tpu.train import evaluate
 TINY = ["--dataset", "synthetic", "--batch_size", "8", "--img_dim", "32",
         "--num_seq", "3", "--seq_len", "4", "--compute_dtype", "float32",
         "--test", "random", "--seed", "0"]
-args = evaluate.build_parser().parse_args(TINY)
+args = evaluate.build_parser().parse_args(TINY + sys.argv[4:])
 cfg = evaluate.config_from_args(args)
 params, bn_state = lc.init_lc(jax.random.PRNGKey(666), cfg.model,
                               cfg.eval.num_classes)
@@ -128,16 +128,14 @@ print("RESULT " + json.dumps({"loss": loss, "top1": top1}), flush=True)
 """
 
 
-def test_two_process_dense_test_matches_single_process(tmp_path):
-    """--multihost dense test: videos sharded across processes, metrics
-    all-gathered — must equal the single-process run_test exactly."""
+def _two_process_dense_test(tmp_path, extra):
     env = dict(os.environ, PYTHONPATH="/root/repo:/root/.axon_site")
     script = tmp_path / "test_worker.py"
     script.write_text(TEST_WORKER)
     port = _free_port()
     procs = [subprocess.Popen(
         [sys.executable, str(script), str(i), port,
-         str(tmp_path / f"out{i}")],
+         str(tmp_path / f"out{i}")] + extra,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         env=env, cwd="/root/repo") for i in range(2)]
     outs = [p.communicate(timeout=600)[0] for p in procs]
@@ -146,12 +144,12 @@ def test_two_process_dense_test_matches_single_process(tmp_path):
         lines = [l for l in out.splitlines() if l.startswith("RESULT ")]
         assert lines, out[-2000:]
         results.append(json.loads(lines[0][len("RESULT "):]))
-    assert results[0] == results[1], results   # both saw the reduced metrics
-    assert os.path.exists(tmp_path / "out0" / "test_log.md")
-    assert not os.path.exists(tmp_path / "out1" / "test_log.md")
+    return results
 
-    # single-process reference
+
+def _single_process_dense_test(tmp_path):
     import jax
+
     from dpc_tpu.models import lc
     from dpc_tpu.train import evaluate
 
@@ -162,8 +160,32 @@ def test_two_process_dense_test_matches_single_process(tmp_path):
     cfg = evaluate.config_from_args(args)
     params, bn_state = lc.init_lc(jax.random.PRNGKey(666), cfg.model,
                                   cfg.eval.num_classes)
-    loss, top1 = evaluate.run_test(cfg, params, bn_state,
-                                   str(tmp_path / "single"),
-                                   window_batch=16)
+    return evaluate.run_test(cfg, params, bn_state,
+                             str(tmp_path / "single"), window_batch=16)
+
+
+def test_two_process_dense_test_matches_single_process(tmp_path):
+    """--multihost dense test: videos sharded across processes, metrics
+    all-gathered — must equal the single-process run_test exactly."""
+    results = _two_process_dense_test(tmp_path, [])
+    assert results[0] == results[1], results   # both saw the reduced metrics
+    assert os.path.exists(tmp_path / "out0" / "test_log.md")
+    assert not os.path.exists(tmp_path / "out1" / "test_log.md")
+
+    loss, top1 = _single_process_dense_test(tmp_path)
     np.testing.assert_allclose(results[0]["loss"], loss, rtol=1e-5)
+    np.testing.assert_allclose(results[0]["top1"], top1, rtol=1e-12)
+
+
+def test_two_process_dense_test_device_augment_matches_host_chain(tmp_path):
+    """--multihost × --device_augment composition: each process feeds its
+    video shard as uint8 ROI windows, the deterministic test recipe runs
+    in the sharded forward (bit-identical to the host chain, PARITY #13)
+    — so the 2-process DA run must reproduce the single-process
+    HOST-chain numbers."""
+    results = _two_process_dense_test(tmp_path, ["--device_augment"])
+    assert results[0] == results[1], results
+
+    loss, top1 = _single_process_dense_test(tmp_path)
+    np.testing.assert_allclose(results[0]["loss"], loss, rtol=1e-4)
     np.testing.assert_allclose(results[0]["top1"], top1, rtol=1e-12)
