@@ -116,6 +116,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--multihost", action="store_true",
                    help="initialise jax.distributed; each host feeds its "
                         "shard of the global batch")
+    p.add_argument("--compilation_cache", default="~/.cache/dpc_tpu/xla",
+                   help="persistent XLA compilation cache dir: a "
+                        "restarted (preempted) run skips the multi-minute "
+                        "recompile; '' disables")
     p.add_argument("--device_augment", action="store_true",
                    help="host workers only ROI-decode uint8 windows; the "
                         "finetune/val crop+flip+jitter runs inside the "
@@ -423,6 +427,10 @@ def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
     m, e, t = cfg.model, cfg.eval, cfg.train
+    if args.compilation_cache:
+        from dpc_tpu.utils.profiling import enable_compilation_cache
+
+        enable_compilation_cache(args.compilation_cache)
 
     shard_id, num_shards = (meshlib.init_multihost() if args.multihost
                             else (0, 1))

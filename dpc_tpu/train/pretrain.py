@@ -107,6 +107,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", default="",
                    help="write a jax.profiler trace of epoch-0 steps here")
     p.add_argument("--debug_nans", action="store_true")
+    p.add_argument("--compilation_cache", default="~/.cache/dpc_tpu/xla",
+                   help="persistent XLA compilation cache dir: a "
+                        "restarted (preempted) run skips the multi-minute "
+                        "recompile; '' disables")
     p.add_argument("--multihost", action="store_true",
                    help="initialise jax.distributed; each host feeds its "
                         "shard of the global batch")
@@ -254,6 +258,10 @@ def main(argv=None) -> None:
         from dpc_tpu.utils.profiling import enable_debug
 
         enable_debug(nan_checks=True)
+    if args.compilation_cache:
+        from dpc_tpu.utils.profiling import enable_compilation_cache
+
+        enable_compilation_cache(args.compilation_cache)
 
     shard_id, num_shards = (meshlib.init_multihost() if args.multihost
                             else (0, 1))

@@ -14,6 +14,7 @@ The reference's entire observability is a per-iteration wall-clock print
 from __future__ import annotations
 
 import contextlib
+import os
 import time
 from typing import Iterator, Optional
 
@@ -42,6 +43,19 @@ def enable_debug(nan_checks: bool = True, disable_jit: bool = False) -> None:
         jax.config.update("jax_debug_nans", True)
     if disable_jit:
         jax.config.update("jax_disable_jit", True)
+
+
+def enable_compilation_cache(path: str) -> None:
+    """Point JAX's persistent compilation cache at ``path`` (created if
+    missing).  Production recipes here are 300-epoch preemptible runs
+    (``eval/test.py:33``): with the cache on, a restarted process skips
+    the multi-minute XLA recompile of the train/eval/test programs and
+    resumes stepping in seconds.  Safe to share between runs — entries
+    are keyed by program/compiler fingerprint; JAX only persists
+    compilations slower than its min-compile-time threshold."""
+    path = os.path.abspath(os.path.expanduser(path))
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
 
 
 class StepTimer:

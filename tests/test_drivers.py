@@ -362,3 +362,23 @@ pretrain.main({args!r} + ["--epochs", "50"])
     # steps_per_epoch=2 -> end-of-train position is batch 2
     assert "resumed mid-epoch: epoch 0 batch 2" in res
     assert "Training from ep 0 to ep 1 finished" in res
+
+
+def test_compilation_cache_persists(tmp_path, capsys):
+    """--compilation_cache: the jitted programs land in the persistent
+    XLA cache, so a restarted (preempted) run skips recompilation — the
+    production story for 300-epoch preemptible recipes."""
+    import jax
+
+    from dpc_tpu.train import pretrain
+
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    try:
+        cache = tmp_path / "xla_cache"
+        pretrain.main(TINY + ["--pred_step", "1", "--epochs", "1",
+                              "--log_dir", str(tmp_path / "log"),
+                              "--compilation_cache", str(cache)])
+        entries = list(cache.iterdir())
+        assert entries, "no persisted compilations"
+    finally:
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
