@@ -21,3 +21,13 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compilation cache: every driver-level test builds fresh
+# jitted closures for the same handful of programs (and re-runs recompile
+# them from scratch) — fingerprint-keyed cache hits cut suite wall time
+# substantially on this 1-core box.  Same mechanism production uses
+# (--compilation_cache in the drivers).
+_cache = os.path.expanduser("~/.cache/dpc_tpu/xla_test")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
