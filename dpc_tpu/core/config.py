@@ -103,7 +103,7 @@ class DataConfig:
     val_subsample: float = 0.3
     num_workers: int = 8
     worker_mode: str = "thread"  # "thread" | "process" (GIL-bound transforms)
-    prefetch: int = 4
+    prefetch: int = 4            # batches the loader keeps ready ahead
     # test-split semantics: defaults reproduce the reference exactly
     # (drop short videos everywhere, eval/dataset_3d_lc.py:61-67; window
     # starts stride-only, :124).  The opt-ins evaluate short videos via a
@@ -113,7 +113,6 @@ class DataConfig:
     # synthetic-dataset knobs (CI / smoke tests without real video data)
     synthetic_num_videos: int = 32
     synthetic_video_len: int = 256
-    synthetic_num_classes: int = 10
 
 
 @dataclasses.dataclass(frozen=True)

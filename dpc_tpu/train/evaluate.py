@@ -83,6 +83,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"])
     p.add_argument("--num_devices", default=0, type=int)
     p.add_argument("--num_workers", default=8, type=int)
+    p.add_argument("--prefetch", default=4, type=int,
+                   help="batches each loader keeps decoded ahead")
     p.add_argument("--worker_mode", default="thread",
                    choices=["thread", "process"])
     p.add_argument("--seed", default=0, type=int)
@@ -146,6 +148,7 @@ def config_from_args(args) -> ExperimentConfig:
                         split=args.split, downsample=args.ds,
                         num_workers=args.num_workers,
                         worker_mode=args.worker_mode,
+                        prefetch=args.prefetch,
                         test_keep_short=args.test_keep_short,
                         test_tail_window=args.test_tail_window),
         train=TrainConfig(batch_size=args.batch_size, seed=args.seed,
@@ -594,12 +597,14 @@ def main(argv=None) -> None:
                               per_host_batch,
                               num_workers=cfg.data.num_workers,
                               worker_mode=cfg.data.worker_mode,
+                              prefetch_batches=cfg.data.prefetch,
                               seed=cfg.train.seed, shard_id=shard_id,
                               num_shards=num_shards)
     val_loader = ClipLoader(get_dataset(cfg, "val", args.unit_test),
                             per_host_batch,
                             num_workers=cfg.data.num_workers,
                             worker_mode=cfg.data.worker_mode,
+                            prefetch_batches=cfg.data.prefetch,
                             seed=cfg.train.seed + 1, shard_id=shard_id,
                             num_shards=num_shards)
     print(f"train videos: {len(train_loader.dataset)}; "

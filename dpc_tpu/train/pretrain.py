@@ -89,6 +89,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "step; host workers only decode+resize")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--num_workers", default=8, type=int)
+    p.add_argument("--prefetch", default=4, type=int,
+                   help="batches each loader keeps decoded ahead")
     p.add_argument("--worker_mode", default="thread",
                    choices=["thread", "process"],
                    help="loader workers: threads (native GIL-free decode) "
@@ -127,7 +129,8 @@ def config_from_args(args) -> ExperimentConfig:
                         synthetic_num_videos=args.synthetic_videos,
                         downsample=downsample,
                         num_workers=args.num_workers,
-                        worker_mode=args.worker_mode),
+                        worker_mode=args.worker_mode,
+                        prefetch=args.prefetch),
         train=TrainConfig(batch_size=args.batch_size, lr=args.lr,
                           wd=args.wd, epochs=args.epochs,
                           start_epoch=args.start_epoch,
@@ -371,12 +374,14 @@ def main(argv=None) -> None:
                               per_host_batch,
                               num_workers=cfg.data.num_workers,
                               worker_mode=cfg.data.worker_mode,
+                              prefetch_batches=cfg.data.prefetch,
                               seed=t.seed, shard_id=shard_id,
                               num_shards=num_shards)
     val_loader = ClipLoader(get_dataset(cfg, "val", args.unit_test),
                             per_host_batch,
                             num_workers=cfg.data.num_workers,
                             worker_mode=cfg.data.worker_mode,
+                            prefetch_batches=cfg.data.prefetch,
                             seed=t.seed + 1, shard_id=shard_id,
                             num_shards=num_shards)
     print(f"train videos: {len(train_loader.dataset)}; "
