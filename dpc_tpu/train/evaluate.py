@@ -110,6 +110,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="append a final tail window so trailing frames are "
                         "evaluated (the reference strides only, "
                         "PARITY.md #11)")
+    p.add_argument("--window_batch", default=0, type=int,
+                   help="dense-test pooled window rows per forward "
+                        "(0 = 8 per data-axis device; rounded up to a "
+                        "device multiple)")
     p.add_argument("--five_crop", action="store_true",
                    help="dense test with 4-corner+centre crops; crops "
                         "ride the window axis of the softmax average "
@@ -484,6 +488,7 @@ def main(argv=None) -> None:
         else:
             print("[warning] testing RANDOM weights")
         run_test(cfg, params, bn_state, exp_dir, args.unit_test,
+                 window_batch=args.window_batch,
                  shard_id=shard_id, num_shards=num_shards)
         return
 
