@@ -52,9 +52,18 @@ def enable_compilation_cache(path: str) -> None:
     the multi-minute XLA recompile of the train/eval/test programs and
     resumes stepping in seconds.  Safe to share between runs — entries
     are keyed by program/compiler fingerprint; JAX only persists
-    compilations slower than its min-compile-time threshold."""
+    compilations slower than its min-compile-time threshold.
+
+    JAX binds the persistent cache object at the FIRST compilation after
+    the dir is set; if this process already compiled something (e.g. a
+    test harness bound a suite-wide cache dir first), updating the config
+    alone is a silent no-op — entries keep landing in the old dir.  Reset
+    the live cache so the rebind actually takes."""
     path = os.path.abspath(os.path.expanduser(path))
     os.makedirs(path, exist_ok=True)
+    from jax.experimental.compilation_cache import compilation_cache as _cc
+
+    _cc.reset_cache()
     jax.config.update("jax_compilation_cache_dir", path)
 
 
