@@ -44,6 +44,21 @@ def _resize_clip(clip: np.ndarray, size_wh: tuple[int, int],
                      for f in clip])
 
 
+def frame_consistent(transform) -> bool:
+    """True when the transform applies the SAME mapping to every frame of
+    a clip — every random draw is per-clip (``consistent=True``) or the op
+    is deterministic — so the output for one frame does not depend on how
+    many frames ride along.  This is the precondition for the dense-test
+    decode-each-frame-once path (``video_dataset.FrameClipDataset.sample``):
+    overlapping windows can then share one decoded+transformed copy of each
+    unique frame, exactly as the reference slices its pre-transformed
+    tensor (``eval/dataset_3d_lc.py:95,109-125``).  Ops without a
+    ``consistent`` attribute (Scale, Normalize, FiveCrop, ...) are
+    deterministic per frame and qualify."""
+    ops = getattr(transform, "ops", [transform])
+    return all(getattr(op, "consistent", True) for op in ops)
+
+
 class Compose:
     def __init__(self, ops: Sequence):
         self.ops = list(ops)

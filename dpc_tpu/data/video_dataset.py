@@ -32,6 +32,7 @@ from typing import Optional
 import numpy as np
 
 from dpc_tpu.core import shapes
+from dpc_tpu.data import augment
 from dpc_tpu.data.augment import Compose
 
 try:
@@ -199,15 +200,35 @@ class FrameClipDataset:
                 self.downsample, self.window_stride,
                 tail_window=self.tail_window)
             nw = windows.shape[0]
+            # Decode (and transform) each unique frame ONCE: at UCF's
+            # N/2 window stride interior blocks appear in ~2 windows
+            # (HMDB ~4/3), and the reference samples all frames once and
+            # windows by slicing the loaded tensor
+            # (eval/dataset_3d_lc.py:76-78,95,109-125).  Valid whenever
+            # the transform is frame-consistent (always true for the
+            # dense-test recipes); the inverse gather restores the
+            # flattened window order bit-exactly.
+            flat = np.minimum(windows.reshape(-1), record.num_frames - 1)
+            uniq, inverse = np.unique(flat, return_inverse=True)
             clip = None
             if hasattr(self.transform, "plan"):
                 # --device_augment dense test: the deterministic window
                 # plan executes inside the native ROI decode, same as
-                # the train path below
-                clip = self._load_frames_planned(record, windows, rng)
+                # the train path below (plans are per-clip, so dedupe
+                # is always exact here)
+                clip = self._load_frames_planned(record, uniq, rng)
+                if clip is not None:
+                    clip = clip[inverse]
             if clip is None:
-                frames = self._load_frames(record, windows)
-                clip = self.transform(frames, rng)
+                if augment.frame_consistent(self.transform):
+                    frames = self._load_frames(record, uniq)
+                    # gather on the frame axis (-4): plain transforms
+                    # return [U, h, w, c], multi-crop [k, U, h, w, c]
+                    clip = np.take(self.transform(frames, rng), inverse,
+                                   axis=-4)
+                else:
+                    frames = self._load_frames(record, windows)
+                    clip = self.transform(frames, rng)
             h, w, c = clip.shape[-3:]
             # multi-crop transforms (FiveCrop) return [k, T, h, w, c]:
             # crops ride the window axis (eval/dataset_3d_lc.py:117-121)

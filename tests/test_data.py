@@ -352,6 +352,82 @@ class TestFiveCropAndFlow:
         assert label == 2
 
 
+class TestDenseTestDecodeOnce:
+    """Dense test mode decodes + transforms each unique frame ONCE and
+    windows by gathering — same result, ~half the host decode work at
+    UCF's N/2 window stride (eval/dataset_3d_lc.py:95,109-125)."""
+
+    def _tree(self, tmp_path, n_frames=30):
+        import cv2
+        d = tmp_path / "classA" / "v_0"
+        d.mkdir(parents=True)
+        rng = np.random.default_rng(0)
+        for i in range(n_frames):
+            cv2.imwrite(str(d / f"image_{i + 1:05d}.jpg"),
+                        rng.integers(0, 255, (64, 80, 3), np.uint8))
+        return [video_dataset.VideoRecord(str(d), n_frames, label=1)]
+
+    def test_unique_frames_decoded_once_bit_exact(self, tmp_path,
+                                                  monkeypatch):
+        recs = self._tree(tmp_path)
+        tf = A.Compose([A.Normalize()])
+        ds = video_dataset.FrameClipDataset(
+            recs, tf, num_seq=2, seq_len=3, downsample=2, mode="test",
+            return_label=True)
+        loaded_counts = []
+        orig = video_dataset.FrameClipDataset._load_frames
+
+        def spy(self, record, indices):
+            loaded_counts.append(np.asarray(indices).size)
+            return orig(self, record, indices)
+
+        monkeypatch.setattr(video_dataset.FrameClipDataset,
+                            "_load_frames", spy)
+        clip, label = ds.sample(0, np.random.default_rng(0))
+        windows = shapes.test_time_windows(30, 2, 3, 2, ds.window_stride)
+        flat = np.minimum(windows.reshape(-1), 29)
+        n_uniq = len(np.unique(flat))
+        assert n_uniq < flat.size  # windows genuinely overlap here
+        assert loaded_counts == [n_uniq]
+        # bit-exact vs decoding every window occurrence
+        frames = np.stack([video_dataset.load_frame(
+            ds._frame_path(recs[0], int(i))) for i in flat])
+        want = tf(frames, np.random.default_rng(0)).reshape(clip.shape)
+        np.testing.assert_array_equal(clip, want)
+
+    def test_per_frame_random_transform_falls_back(self, tmp_path,
+                                                   monkeypatch):
+        # a per-frame-random transform would change results under dedupe;
+        # sample() must detect it and decode per occurrence
+        recs = self._tree(tmp_path)
+        tf = A.Compose([A.RandomGray(consistent=False, p=1.0),
+                        A.Normalize()])
+        assert not A.frame_consistent(tf)
+        ds = video_dataset.FrameClipDataset(
+            recs, tf, num_seq=2, seq_len=3, downsample=2, mode="test")
+        loaded_counts = []
+        orig = video_dataset.FrameClipDataset._load_frames
+
+        def spy(self, record, indices):
+            loaded_counts.append(np.asarray(indices).size)
+            return orig(self, record, indices)
+
+        monkeypatch.setattr(video_dataset.FrameClipDataset,
+                            "_load_frames", spy)
+        clip = ds.sample(0, np.random.default_rng(0))
+        assert clip.shape == (4, 2, 3, 64, 80, 3)
+        assert loaded_counts == [24]  # 4 windows × 6 frame slots
+
+    def test_frame_consistent_classifier(self):
+        assert A.frame_consistent(A.Compose([A.Normalize()]))
+        assert A.frame_consistent(A.finetune_transform(64, "test"))
+        assert A.frame_consistent(
+            A.finetune_transform(64, "test", five_crop=True))
+        assert A.frame_consistent(A.HostScaleCrop(240, (224, 224),
+                                                  center=True))
+        assert not A.frame_consistent(A.pretrain_transform("ucf101", 64))
+
+
 class TestBatchedNativeDecode:
     """The hot path must use ONE native batch-decode call per clip and
     produce exactly what the per-frame path produces."""
