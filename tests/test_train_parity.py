@@ -96,16 +96,21 @@ def test_one_adam_step_matches_reference():
 
 
 def test_multi_step_loss_trajectory_tracks_reference():
-    """Twenty full steps with a stated per-step divergence budget.
+    """Sixty full steps: per-step budgets plus a cumulative late-curve
+    envelope.
 
     Adam dynamics are chaotic at lr=1e-3 from random init (m-hat/sqrt(v-hat)
     ~ sign(g): elements with g ~ 0 flip under f32 reduction-order noise),
     so elementwise parity decays with step count.  Measured on this box
     (recorded in docs/RESULTS.md): rel-diff 0 at step 0, <=1.5% through
-    step 3, peak 9.6% at step 4, settling to 1-6% thereafter while both
-    curves decay 30 -> ~1.5 in lockstep.  Budget asserted here: 1e-4 at
-    step 0, 5e-2 through step 3, 15e-2 for every later step, and the
-    final losses within 10%."""
+    step 3, peak 10.3% at step 9, settling to 1-6% thereafter while both
+    curves decay 30 -> ~1.38 in lockstep.  Budgets asserted here:
+      * per-step: 1e-4 at step 0, 5e-2 through step 3, 15e-2 later;
+      * late-curve envelope (VERDICT r3 #8 — per-step noise averages out,
+        so a systematic BN/EMA/mask drift that bends the curve late CANNOT
+        hide in it): cumulative sum|dloss| / sum(ref loss) over steps
+        20-59 <= 6e-2 (measured 2.35%), and the mean losses of the last
+        20 steps within 2% (measured 0.3%)."""
     cfg = DPCConfig(img_dim=64, num_seq=4, seq_len=5, pred_step=2,
                     gru_dropout=0.0)
     B = 2
@@ -125,7 +130,7 @@ def test_multi_step_loss_trajectory_tracks_reference():
     rng = np.random.default_rng(1)
     t_losses, j_losses = [], []
     step = jax.jit(lambda p, s, x: _one_step(p, s, x, cfg, targets, tx))
-    for i in range(20):
+    for i in range(60):
         x = rng.normal(size=(B, cfg.num_seq, cfg.seq_len, cfg.img_dim,
                              cfg.img_dim, 3)).astype(np.float32)
         score_t, mask_t = tmodel(ref.to_torch_video(x))
@@ -142,7 +147,13 @@ def test_multi_step_loss_trajectory_tracks_reference():
     np.testing.assert_allclose(j_losses[0], t_losses[0], rtol=1e-4)
     np.testing.assert_allclose(j_losses[:4], t_losses[:4], rtol=5e-2)
     np.testing.assert_allclose(j_losses, t_losses, rtol=15e-2)
-    np.testing.assert_allclose(j_losses[-1], t_losses[-1], rtol=1e-1)
+    # late-curve envelope: cumulative divergence over steps 20-59 and
+    # agreement of the settled level (mean of the last 20 steps)
+    t_arr, j_arr = np.asarray(t_losses), np.asarray(j_losses)
+    cum_rel = np.abs(j_arr[20:] - t_arr[20:]).sum() / t_arr[20:].sum()
+    assert cum_rel <= 6e-2, cum_rel
+    tail_rel = abs(j_arr[40:].mean() - t_arr[40:].mean()) / t_arr[40:].mean()
+    assert tail_rel <= 2e-2, tail_rel
     # both trajectories must have actually descended together
     assert t_losses[-1] < max(t_losses) / 5
     assert j_losses[-1] < max(j_losses) / 5
