@@ -31,3 +31,9 @@ _cache = os.path.expanduser("~/.cache/dpc_tpu/xla_test")
 os.makedirs(_cache, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running golden parity at the flagship/published shape")
