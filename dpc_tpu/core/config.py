@@ -143,6 +143,10 @@ class TrainConfig:
                                   # (expects uint8 pre-crop batches)
     device_augment_recipe: str = "sized_crop"  # "sized_crop" (k400) |
                                                # "crop_resize" (ucf/hmdb)
+    # fold the Normalize affine of --device_augment recipes into the stem
+    # conv (layers.conv3d_input_norm) — removes one whole-activation
+    # traversal per step; off = literal recipe order (PARITY.md #14)
+    fold_normalize: bool = True
     cross_replica_bn: bool = False  # reference BN is per-replica (unsynced)
     remat: bool = False          # jax.checkpoint the backbone to save HBM
     donate: bool = True
@@ -177,6 +181,9 @@ class EvalConfig:
     # the full-geometry window, crop/flip/jitter/normalize inside the
     # jitted step (data/device_augment.py:finetune_augment_batch)
     device_augment: bool = False
+    # fold the recipes' Normalize into the stem conv when device_augment
+    # (dense test then feeds raw uint8 windows to the model; PARITY.md #14)
+    fold_normalize: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

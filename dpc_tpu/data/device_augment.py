@@ -32,6 +32,14 @@ import numpy as np
 IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 
+# (mean, std, scale) tuples for the stem-conv normalize fold
+# (``layers.conv3d_input_norm``): recipes called with normalize_out=False
+# emit [0,1] f32 (scale=1) or raw uint8 windows (scale=255) and the model
+# applies the affine inside the stem conv — one fewer whole-activation
+# traversal per --device_augment step (PARITY.md #14).
+INPUT_NORM_01 = (IMAGENET_MEAN, IMAGENET_STD, 1.0)
+INPUT_NORM_U8 = (IMAGENET_MEAN, IMAGENET_STD, 255.0)
+
 
 def device_augment_geometry(dataset: str, img_dim: int,
                             task: str = "pretrain"
@@ -237,7 +245,8 @@ def _cv2_nearest_idx(out: int, src: int) -> np.ndarray:
 
 
 def test_preprocess_batch(clips: jax.Array, img_dim: int, crop_size: int,
-                          five_crop: bool = False) -> jax.Array:
+                          five_crop: bool = False,
+                          normalize_out: bool = True) -> jax.Array:
     """Device half of the (deterministic) dense-test transform:
     ``CenterCrop(crop_size)`` → ``Scale(img_dim)`` NEAREST → ``Normalize``
     — the reference's test recipe (``eval/test.py:121-126``; 5-crop
@@ -270,12 +279,16 @@ def test_preprocess_batch(clips: jax.Array, img_dim: int, crop_size: int,
         crop = flat[:, :, y0:y0 + ch, x0:x0 + cw, :]
         outs.append(crop[:, :, iy][:, :, :, ix])  # static gathers, uint8
     out = jnp.stack(outs, axis=1)  # [R, K, F, D, D, C]
-    out = normalize(out.astype(jnp.float32) / 255.0)
+    if normalize_out:
+        out = normalize(out.astype(jnp.float32) / 255.0)
+    # else: stay uint8 — the caller folds /255+normalize into the stem
+    # conv (INPUT_NORM_U8), so the f32 input is never materialised
     return out.reshape(r * len(corners), n, sl, img_dim, img_dim, c)
 
 
 def finetune_augment_batch(key: jax.Array, clips: jax.Array, img_dim: int,
-                           mode: str = "train") -> jax.Array:
+                           mode: str = "train",
+                           normalize_out: bool = True) -> jax.Array:
     """Device half of the finetune/probe recipes
     (``augment.finetune_transform``; reference ``eval/test.py:121-176``):
 
@@ -309,7 +322,7 @@ def finetune_augment_batch(key: jax.Array, clips: jax.Array, img_dim: int,
         out = random_hflip(kf, out)
         jit = color_jitter(kj, out, jb, jc, js, jh, per_frame=False)
         out = jnp.where(jax.random.bernoulli(kq, 0.3), jit, out)
-        return normalize(out)
+        return normalize(out) if normalize_out else out
 
     keys = jax.random.split(key, b)
     out = jax.vmap(per_sample)(keys, flat)
@@ -318,7 +331,9 @@ def finetune_augment_batch(key: jax.Array, clips: jax.Array, img_dim: int,
 
 def augment_batch(key: jax.Array, clips: jax.Array, img_dim: int,
                   gray_p: float = 0.5,
-                  recipe: str = "sized_crop") -> jax.Array:
+                  recipe: str = "sized_crop",
+                  normalize_out: bool = True,
+                  sample_keys: "jax.Array | None" = None) -> jax.Array:
     """Jit-free body of :func:`pretrain_augment` — callable from inside an
     already-jitted train step (see ``TrainConfig.device_augment``).
 
@@ -335,6 +350,11 @@ def augment_batch(key: jax.Array, clips: jax.Array, img_dim: int,
     # full-geometry window is never converted at full resolution)
     flat = clips.reshape(b, n * sl, h, w, c)
 
+    # ``sample_keys`` [b, ...]: caller-supplied per-sample streams — the
+    # clip-sharded model axis slices one per-group key set so each sample
+    # draws the same augmentation regardless of how the batch is split
+    # across peers (train/pretrain_step.py)
+
     def per_sample(key, clip):
         kc, kf, kg, kj = jax.random.split(key, 4)
         if recipe == "sized_crop":
@@ -344,21 +364,23 @@ def augment_batch(key: jax.Array, clips: jax.Array, img_dim: int,
         clip = random_hflip(kf, clip)
         clip = random_gray(kg, clip, p=gray_p, per_frame=True)
         clip = color_jitter(kj, clip, per_frame=True)
-        return normalize(clip)
+        return normalize(clip) if normalize_out else clip
 
-    keys = jax.random.split(key, b)
+    keys = jax.random.split(key, b) if sample_keys is None else sample_keys
     out = jax.vmap(per_sample)(keys, flat)
     return out.reshape(b, n, sl, img_dim, img_dim, c)
 
 
-@functools.partial(jax.jit, static_argnames=("img_dim", "gray_p", "recipe"))
+@functools.partial(jax.jit, static_argnames=("img_dim", "gray_p", "recipe",
+                                             "normalize_out"))
 def pretrain_augment(key: jax.Array, clips: jax.Array, img_dim: int,
                      gray_p: float = 0.5,
-                     recipe: str = "sized_crop") -> jax.Array:
+                     recipe: str = "sized_crop",
+                     normalize_out: bool = True) -> jax.Array:
     """Device-side pretrain augmentation as a standalone jit.
 
     clips: ``[B, N, SL, H, W, C]`` uint8 (decoded, pre-crop size).
     Returns ``[B, N, SL, img_dim, img_dim, C]`` float32 normalised.
     One crop/flip draw per sample (clip-consistent); gray/jitter per frame.
     """
-    return augment_batch(key, clips, img_dim, gray_p, recipe)
+    return augment_batch(key, clips, img_dim, gray_p, recipe, normalize_out)

@@ -59,7 +59,8 @@ def _predictor(p: Params, h: jax.Array, dtype=None) -> jax.Array:
 
 def encode_blocks(params: Params, x: jax.Array, *, cfg: DPCConfig,
                   train: bool, dtype=None,
-                  axis_name: Optional[str] = None) -> jax.Array:
+                  axis_name: Optional[str] = None,
+                  input_norm: Optional[tuple] = None) -> jax.Array:
     """Backbone over all blocks → PRE-ReLU dense embeddings.
 
     x: ``[B, N, SL, H, W, 3]`` → ``[B, N, ls, ls, D]`` (pre-activation).
@@ -67,7 +68,8 @@ def encode_blocks(params: Params, x: jax.Array, *, cfg: DPCConfig,
     b, n, sl, h, w, c = x.shape
     feat, _ = resnet2d3d.apply_resnet2d3d(
         params["backbone"], None, x.reshape(b * n, sl, h, w, c),
-        network=cfg.network, train=train, dtype=dtype, axis_name=axis_name)
+        network=cfg.network, train=train, dtype=dtype, axis_name=axis_name,
+        input_norm=input_norm)
     # temporal window == full extent ⇒ plain mean (dpc/model_3d.py:53)
     assert feat.shape[1] == cfg.last_duration, (feat.shape, cfg.last_duration)
     feat = jnp.mean(feat.astype(jnp.float32), axis=1)
@@ -77,11 +79,15 @@ def encode_blocks(params: Params, x: jax.Array, *, cfg: DPCConfig,
 
 def apply_dpc(params: Params, x: jax.Array, *, cfg: DPCConfig,
               train: bool = True, key: Optional[jax.Array] = None,
-              dtype=None, axis_name: Optional[str] = None
+              dtype=None, axis_name: Optional[str] = None,
+              input_norm: Optional[tuple] = None
               ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Full DPC forward.
 
-    x: ``[B, N, SL, H, W, 3]`` floats (normalised frames, channels-last).
+    x: ``[B, N, SL, H, W, 3]`` floats (normalised frames, channels-last;
+    with ``input_norm=(mean, std, scale)`` the frames are UN-normalised —
+    [0,1] f32 or raw uint8 — and the affine is folded into the stem conv,
+    ``layers.conv3d_input_norm``).
     Returns ``(score, pred, gt)`` where score is the flattened
     ``[B·P·SQ, B·P·SQ]`` similarity matrix and pred/gt are the
     ``[B, P, ls, ls, D]`` embeddings that produced it.
@@ -95,7 +101,7 @@ def apply_dpc(params: Params, x: jax.Array, *, cfg: DPCConfig,
     ctx = n - p_steps
 
     feature_pre = encode_blocks(params, x, cfg=cfg, train=train, dtype=dtype,
-                                axis_name=axis_name)
+                                axis_name=axis_name, input_norm=input_norm)
     gt = feature_pre[:, ctx:]                       # pre-ReLU, (−inf, +inf)
     feature = jax.nn.relu(feature_pre)              # GRU input, [0, +inf)
 

@@ -103,6 +103,46 @@ def conv3d(p: Params, x: jax.Array, stride: tuple[int, int, int],
     return y
 
 
+def conv3d_input_norm(p: Params, x: jax.Array,
+                      stride: tuple[int, int, int],
+                      padding: tuple[int, int, int], dtype,
+                      input_norm: tuple) -> jax.Array:
+    """``conv3d(p, (x/scale − mean)/std)`` computed from the UN-normalised
+    ``x`` — the per-channel normalize affine folded into the conv.
+
+    With ``input_norm = (mean, std, scale)``, conv linearity gives
+    ``conv(W, x/(s·σ)) − conv(W/(s·σ), s·m·𝟙)`` where ``𝟙`` is ones inside
+    the frame and zero in the padding — so the correction term is computed
+    by running the SAME scaled weights over a constant mean-field (a
+    ``[1, 1, H, W, C]`` conv, ~10⁴× smaller than the batch conv), which
+    makes the fold exact at zero-padded borders where a constant bias
+    would be wrong.  This removes the full-resolution normalize traversal
+    from the --device_augment recipes, and with ``scale=255`` lets uint8
+    windows feed the stem directly (uint8 is exact in bf16; the f32 model
+    input is never materialised).  Equivalence to normalize-then-conv is
+    to rounding: ≤2e-6 relative in f32, ~1e-3 in bf16 (pinned in
+    tests/test_device_augment.py); the correction conv runs in f32.
+    """
+    mean, std, scale = input_norm
+    mean = np.asarray(mean, np.float32)
+    denom = (np.asarray(std, np.float32) * float(scale))
+    w = p["w"] * (1.0 / denom).reshape(1, 1, 1, -1, 1)
+    wp = {"w": w}
+    if "b" in p:
+        wp["b"] = p["b"]
+    if dtype is None:
+        dtype = w.dtype  # x may be raw uint8; conv needs matching floats
+    y = conv3d(wp, x, stride, padding, dtype)
+    # stem kernels are temporally 1×/unpadded, so the correction is
+    # constant along T and one frame suffices
+    assert p["w"].shape[0] == 1 and padding[0] == 0, \
+        "input-norm fold needs a temporally-local unpadded stem"
+    mf = jnp.broadcast_to(jnp.asarray(mean * float(scale)),
+                          (1, 1, x.shape[2], x.shape[3], mean.shape[0]))
+    corr = conv3d({"w": w}, mf, stride, padding, jnp.float32)
+    return (y - corr.astype(y.dtype))
+
+
 def init_conv2d(key: jax.Array, in_ch: int, out_ch: int, kernel: int,
                 bias: bool = True, init=orthogonal_init) -> Params:
     p: Params = {"w": init(key, (kernel, kernel, in_ch, out_ch))}
@@ -427,12 +467,19 @@ def fused_stem(conv_p: Params, bn_p: Params, x: jax.Array, *,
                stride: tuple[int, int, int] = (1, 2, 2),
                padding: tuple[int, int, int] = (0, 3, 3),
                dtype=None, eps: float = 1e-5,
-               axis_name: Optional[str] = None
+               axis_name: Optional[str] = None,
+               input_norm: Optional[tuple] = None
                ) -> tuple[jax.Array, Optional[Params]]:
     """conv → BN → ReLU → 3×3/s2 max-pool with the normalize deferred to
     POOLED resolution — an exact reformulation that removes the
     full-resolution normalize pass (fwd) and ReLU gate (bwd), the stem's
     two remaining whole-activation traversals.
+
+    ``input_norm=(mean, std, scale)`` additionally folds the INPUT
+    normalize affine into the conv (see :func:`conv3d_input_norm`): ``x``
+    is then the un-normalised augment output (f32 in [0,1] with scale=1,
+    or raw uint8 with scale=255) and the stem computes as if it had been
+    normalised — the --device_augment fold.
 
     Math: with per-channel a = γ·rsqrt(var+ε), b = β − mean·a, the stem is
     ``maxpool(relu(a·x + b))``.  Fold s = (γ ≥ 0 ? +1 : −1) into the conv
@@ -466,7 +513,10 @@ def fused_stem(conv_p: Params, bn_p: Params, x: jax.Array, *,
     wp = {"w": conv_p["w"] * sgn}
     if "b" in conv_p:
         wp["b"] = conv_p["b"] * sgn
-    xs = conv3d(wp, x, stride, padding, dtype)          # x' = s·x
+    if input_norm is None:                              # x' = s·x
+        xs = conv3d(wp, x, stride, padding, dtype)
+    else:
+        xs = conv3d_input_norm(wp, x, stride, padding, dtype, input_norm)
     new_state = state
     if state is None or train:
         xf = xs.astype(jnp.promote_types(xs.dtype, jnp.float32))

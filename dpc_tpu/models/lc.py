@@ -52,15 +52,19 @@ def init_lc(key: jax.Array, cfg: DPCConfig, num_classes: int
 def apply_lc(params: Params, state: Params, x: jax.Array, *,
              cfg: DPCConfig, num_classes: int, dropout: float = 0.5,
              train: bool = True, key: Optional[jax.Array] = None,
-             dtype=None, axis_name: Optional[str] = None
+             dtype=None, axis_name: Optional[str] = None,
+             input_norm: Optional[tuple] = None
              ) -> tuple[jax.Array, jax.Array, Params]:
     """Forward.  x: ``[B, N, SL, H, W, 3]`` → (logits ``[B, 1, C]``,
-    context ``[B, 1, D]``, new_state)."""
+    context ``[B, 1, D]``, new_state).  ``input_norm=(mean, std, scale)``:
+    x is UN-normalised ([0,1] f32 or raw uint8) and the normalize affine
+    is folded into the stem conv (``layers.conv3d_input_norm``)."""
     b, n, sl, h, w, c = x.shape
     new_state: Params = {}
     feat, new_state["backbone"] = resnet2d3d.apply_resnet2d3d(
         params["backbone"], state["backbone"], x.reshape(b * n, sl, h, w, c),
-        network=cfg.network, train=train, dtype=dtype, axis_name=axis_name)
+        network=cfg.network, train=train, dtype=dtype, axis_name=axis_name,
+        input_norm=input_norm)
     feat = jax.nn.relu(feat)                       # ReLU before the pool
     feat = jnp.mean(feat.astype(jnp.float32), axis=1)
     ls = cfg.last_size

@@ -208,7 +208,8 @@ def _apply_block(p: Params, s: Optional[Params], spec: dict, x: jax.Array, *,
 def apply_resnet2d3d(params: Params, state: Optional[Params], x: jax.Array, *,
                      network: str = "resnet18", train: bool = True,
                      dtype=None, axis_name: Optional[str] = None,
-                     stem_impl: str = "auto"
+                     stem_impl: str = "auto",
+                     input_norm: Optional[tuple] = None
                      ) -> tuple[jax.Array, Optional[Params]]:
     """Forward pass.  x: NDHWC ``[B, T, H, W, 3]`` → ``[B, T/4, H/32, W/32, D]``.
 
@@ -220,6 +221,12 @@ def apply_resnet2d3d(params: Params, state: Optional[Params], x: jax.Array, *,
     reformulation covering all three BN modes, including the
     running-stats EMA); "unfused" keeps the literal op order; "auto"
     picks "fused" on TPU.
+
+    ``input_norm=(mean, std, scale)`` folds the per-channel input
+    normalize into the stem conv (``layers.conv3d_input_norm``): ``x`` is
+    then the UN-normalised augment output — [0,1] f32 (scale=1) or raw
+    uint8 (scale=255) — and the forward matches the normalised-input
+    forward to rounding (the --device_augment fold, PARITY.md #14).
     """
     specs = _block_specs(network)
     track = state is not None
@@ -234,11 +241,17 @@ def apply_resnet2d3d(params: Params, state: Optional[Params], x: jax.Array, *,
     if stem_impl == "fused":
         h, ns = L.fused_stem(params["stem"]["conv"], params["stem"]["bn"],
                              x, state=state["stem"]["bn"] if track else None,
-                             train=train, dtype=dtype, axis_name=axis_name)
+                             train=train, dtype=dtype, axis_name=axis_name,
+                             input_norm=input_norm)
         if track:
             new_state["stem"] = {"bn": ns}
     else:
-        h = L.conv3d(params["stem"]["conv"], x, (1, 2, 2), (0, 3, 3), dtype)
+        if input_norm is None:
+            h = L.conv3d(params["stem"]["conv"], x, (1, 2, 2), (0, 3, 3),
+                         dtype)
+        else:
+            h = L.conv3d_input_norm(params["stem"]["conv"], x, (1, 2, 2),
+                                    (0, 3, 3), dtype, input_norm)
         h, ns = L.batchnorm(params["stem"]["bn"],
                             state["stem"]["bn"] if track else None, h,
                             train=train, axis_name=axis_name)

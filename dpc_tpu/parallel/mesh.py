@@ -64,7 +64,16 @@ def shard_key(key: jax.Array, step=None, axis: str = DATA_AXIS) -> jax.Array:
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading-axis (batch) sharding over the data axis."""
+    """Leading-axis (batch) sharding.
+
+    With a model axis of size > 1 the pretrain steps shard CLIPS over
+    ('data', 'model') (every peer encodes its own sub-batch —
+    ``train/pretrain_step.py``), so the host batch is placed the same
+    way; a pure-data mesh keeps the plain 'data' split.  Steps that only
+    shard over 'data' (finetune/test) see the identical layout on their
+    mesh (model size 1)."""
+    if mesh.shape.get(MODEL_AXIS, 1) > 1:
+        return NamedSharding(mesh, P((DATA_AXIS, MODEL_AXIS)))
     return NamedSharding(mesh, P(DATA_AXIS))
 
 

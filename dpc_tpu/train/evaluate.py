@@ -135,6 +135,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(bit-identical to the host chain; with "
                         "--five_crop the forward batch is 5x "
                         "--window_batch)")
+    p.add_argument("--no_fold_normalize", action="store_true",
+                   help="with --device_augment: keep the literal "
+                        "Normalize pass instead of folding it into the "
+                        "stem conv (the fold trades bit-identity with "
+                        "the host chain for one fewer whole-activation "
+                        "traversal; PARITY.md #14)")
     return p
 
 
@@ -164,7 +170,8 @@ def config_from_args(args) -> ExperimentConfig:
                         lr_milestones=milestones,
                         backbone_lr_scale=args.backbone_lr_scale,
                         five_crop=args.five_crop, remat=args.remat,
-                        device_augment=args.device_augment),
+                        device_augment=args.device_augment,
+                        fold_normalize=not args.no_fold_normalize),
     )
 
 

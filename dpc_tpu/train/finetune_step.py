@@ -48,12 +48,14 @@ def make_finetune_step(model_cfg: DPCConfig, eval_cfg: EvalConfig, mesh,
     batch ``[B, N, SL, H, W, 3]`` + labels ``[B]`` sharded over 'data'.
     """
     dtype = dtype_of(model_cfg.compute_dtype)
+    fold = eval_cfg.device_augment and eval_cfg.fold_normalize
+    in_norm = device_augment.INPUT_NORM_01 if fold else None
 
     def fwd(params, bn_state, batch, key):
         return lc.apply_lc(
             params, bn_state, batch, cfg=model_cfg,
             num_classes=eval_cfg.num_classes, dropout=eval_cfg.dropout,
-            train=True, key=key, dtype=dtype)
+            train=True, key=key, dtype=dtype, input_norm=in_norm)
 
     if eval_cfg.remat:
         # recompute activations in the backward instead of dying on HBM
@@ -76,7 +78,8 @@ def make_finetune_step(model_cfg: DPCConfig, eval_cfg: EvalConfig, mesh,
         if eval_cfg.device_augment:
             key, akey = jax.random.split(key)
             batch = device_augment.finetune_augment_batch(
-                akey, batch, model_cfg.img_dim, mode="train")
+                akey, batch, model_cfg.img_dim, mode="train",
+                normalize_out=not fold)
         (_, (metrics, new_bn)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.state, batch,
                                    labels, key)
@@ -108,16 +111,19 @@ def make_finetune_eval_step(model_cfg: DPCConfig, eval_cfg: EvalConfig,
     crop p=.3, flip, weak jitter — ``eval/test.py:150-176``); unused
     otherwise."""
     dtype = dtype_of(model_cfg.compute_dtype)
+    fold = eval_cfg.device_augment and eval_cfg.fold_normalize
+    in_norm = device_augment.INPUT_NORM_01 if fold else None
 
     def device_step(params, bn_state, batch, labels, key):
         if eval_cfg.device_augment:
             key = shard_key(key)
             batch = device_augment.finetune_augment_batch(
-                key, batch, model_cfg.img_dim, mode="val")
+                key, batch, model_cfg.img_dim, mode="val",
+                normalize_out=not fold)
         logits, _, _ = lc.apply_lc(
             params, bn_state, batch, cfg=model_cfg,
             num_classes=eval_cfg.num_classes, dropout=eval_cfg.dropout,
-            train=False, dtype=dtype)
+            train=False, dtype=dtype, input_norm=in_norm)
         logits = logits[:, 0, :]
         return jax.lax.pmean({
             "loss": softmax_xent(logits, labels),
@@ -142,16 +148,19 @@ def make_test_forward(model_cfg: DPCConfig, eval_cfg: EvalConfig,
     input contract."""
     dtype = dtype_of(model_cfg.compute_dtype)
 
+    fold = eval_cfg.device_augment and eval_cfg.fold_normalize
+    in_norm = device_augment.INPUT_NORM_U8 if fold else None
+
     @jax.jit
     def forward(params, bn_state, windows):
         if eval_cfg.device_augment:
             windows = device_augment.test_preprocess_batch(
                 windows, model_cfg.img_dim, test_crop,
-                five_crop=eval_cfg.five_crop)
+                five_crop=eval_cfg.five_crop, normalize_out=not fold)
         logits, _, _ = lc.apply_lc(
             params, bn_state, windows, cfg=model_cfg,
             num_classes=eval_cfg.num_classes, dropout=eval_cfg.dropout,
-            train=False, dtype=dtype)
+            train=False, dtype=dtype, input_norm=in_norm)
         return logits[:, 0, :]
 
     return forward
@@ -174,15 +183,18 @@ def make_test_forward_sharded(model_cfg: DPCConfig, eval_cfg: EvalConfig,
     contiguous per window — the caller accounts rows ×5)."""
     dtype = dtype_of(model_cfg.compute_dtype)
 
+    fold = eval_cfg.device_augment and eval_cfg.fold_normalize
+    in_norm = device_augment.INPUT_NORM_U8 if fold else None
+
     def device_fwd(params, bn_state, windows):
         if eval_cfg.device_augment:
             windows = device_augment.test_preprocess_batch(
                 windows, model_cfg.img_dim, test_crop,
-                five_crop=eval_cfg.five_crop)
+                five_crop=eval_cfg.five_crop, normalize_out=not fold)
         logits, _, _ = lc.apply_lc(
             params, bn_state, windows, cfg=model_cfg,
             num_classes=eval_cfg.num_classes, dropout=eval_cfg.dropout,
-            train=False, dtype=dtype)
+            train=False, dtype=dtype, input_norm=in_norm)
         return logits[:, 0, :]
 
     sharded = jax.shard_map(

@@ -81,12 +81,20 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"])
     p.add_argument("--num_devices", default=0, type=int)
     p.add_argument("--model_parallel", default=1, type=int,
-                   help="mesh 'model' axis size (candidate-sharded NCE; "
-                        "requires --negatives global)")
+                   help="mesh 'model' axis size: clips AND the NCE "
+                        "candidate pool shard over it (each peer encodes "
+                        "its own B/(d*m) sub-batch; embeddings regroup "
+                        "for scoring), so {data:d, model:m} computes "
+                        "exactly what {data:d} does on m* fewer chips "
+                        "per group; requires --negatives global")
     p.add_argument("--cross_replica_bn", action="store_true")
     p.add_argument("--device_augment", action="store_true",
                    help="run crop/flip/gray/jitter on device inside the "
                         "step; host workers only decode+resize")
+    p.add_argument("--no_fold_normalize", action="store_true",
+                   help="with --device_augment: keep the literal "
+                        "Normalize pass instead of folding it into the "
+                        "stem conv (PARITY.md #14)")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--num_workers", default=8, type=int)
     p.add_argument("--prefetch", default=4, type=int,
@@ -143,6 +151,7 @@ def config_from_args(args) -> ExperimentConfig:
                           nce_impl=args.nce_impl,
                           cross_replica_bn=args.cross_replica_bn,
                           device_augment=args.device_augment,
+                          fold_normalize=not args.no_fold_normalize,
                           device_augment_recipe=(
                               "sized_crop" if args.dataset == "k400"
                               else "crop_resize"),

@@ -252,3 +252,82 @@ def test_cv2_nearest_idx_matches_cv2():
         ref = cv2.resize(img, (out, 1), interpolation=cv2.INTER_NEAREST)
         idx = da._cv2_nearest_idx(out, src)
         np.testing.assert_array_equal(ref.reshape(-1), idx.astype(np.uint8))
+
+
+class TestFoldNormalize:
+    """The stem-conv normalize fold (layers.conv3d_input_norm) must match
+    normalize-then-conv to rounding — including the zero-padded borders,
+    where a constant bias would be wrong (VERDICT r3 #6, PARITY.md #14)."""
+
+    def _conv_params(self, seed=0):
+        from dpc_tpu.models import layers as L
+
+        return L.init_conv3d(jax.random.PRNGKey(seed), 3, 16, (1, 7, 7))
+
+    def test_conv_fold_matches_normalize_then_conv_f32(self):
+        from dpc_tpu.models import layers as L
+
+        p = self._conv_params()
+        rng = np.random.default_rng(0)
+        x01 = jnp.asarray(rng.random((2, 5, 40, 48, 3), np.float32))
+        want = L.conv3d(p, (x01 - da.IMAGENET_MEAN) / da.IMAGENET_STD,
+                        (1, 2, 2), (0, 3, 3), jnp.float32)
+        got = L.conv3d_input_norm(p, x01, (1, 2, 2), (0, 3, 3),
+                                  jnp.float32, da.INPUT_NORM_01)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-6, rtol=2e-6)
+
+    def test_conv_fold_uint8_scale255(self):
+        from dpc_tpu.models import layers as L
+
+        p = self._conv_params(1)
+        rng = np.random.default_rng(1)
+        xu8 = jnp.asarray(rng.integers(0, 255, (1, 5, 33, 47, 3), np.uint8))
+        want = L.conv3d(
+            p, (xu8.astype(jnp.float32) / 255.0 - da.IMAGENET_MEAN)
+            / da.IMAGENET_STD, (1, 2, 2), (0, 3, 3), jnp.float32)
+        got = L.conv3d_input_norm(p, xu8, (1, 2, 2), (0, 3, 3),
+                                  jnp.float32, da.INPUT_NORM_U8)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-6, rtol=2e-6)
+
+    def test_fused_stem_fold_matches_unfolded(self):
+        # through the production stem (fused_stem with the sign trick and
+        # batch-stat BN), borders included
+        from dpc_tpu.models import layers as L
+
+        kc, kb = jax.random.split(jax.random.PRNGKey(2))
+        conv_p = L.init_conv3d(kc, 3, 16, (1, 7, 7))
+        bn_p, _ = L.init_batchnorm(16, False)
+        bn_p = dict(bn_p)
+        bn_p["scale"] = jax.random.normal(kb, (16,))  # exercise sgn fold
+        rng = np.random.default_rng(2)
+        x01 = jnp.asarray(rng.random((2, 5, 64, 64, 3), np.float32))
+        want, _ = L.fused_stem(conv_p, bn_p,
+                               (x01 - da.IMAGENET_MEAN) / da.IMAGENET_STD)
+        got, _ = L.fused_stem(conv_p, bn_p, x01,
+                              input_norm=da.INPUT_NORM_01)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=5e-5, rtol=5e-4)
+
+    def test_lc_dense_test_fold_end_to_end(self):
+        # the dense-test DA path: uint8 windows + INPUT_NORM_U8 vs the
+        # literal normalize — logits must agree to f32 rounding
+        from dpc_tpu.core.config import DPCConfig
+        from dpc_tpu.models import lc
+
+        cfg = DPCConfig(img_dim=32, num_seq=2, seq_len=4)
+        params, state = lc.init_lc(jax.random.PRNGKey(3), cfg,
+                                   num_classes=5)
+        rng = np.random.default_rng(3)
+        windows = jnp.asarray(rng.integers(0, 255, (2, 2, 4, 130, 130, 3),
+                                           np.uint8))
+        xn = da.test_preprocess_batch(windows, 32, 32)
+        want, _, _ = lc.apply_lc(params, state, xn, cfg=cfg,
+                                 num_classes=5, train=False)
+        xu = da.test_preprocess_batch(windows, 32, 32, normalize_out=False)
+        assert xu.dtype == jnp.uint8
+        got, _, _ = lc.apply_lc(params, state, xu, cfg=cfg, num_classes=5,
+                                train=False, input_norm=da.INPUT_NORM_U8)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4, rtol=1e-3)
