@@ -144,9 +144,13 @@ class TrainConfig:
     device_augment_recipe: str = "sized_crop"  # "sized_crop" (k400) |
                                                # "crop_resize" (ucf/hmdb)
     # fold the Normalize affine of --device_augment recipes into the stem
-    # conv (layers.conv3d_input_norm) — removes one whole-activation
-    # traversal per step; off = literal recipe order (PARITY.md #14)
-    fold_normalize: bool = True
+    # conv (layers.conv3d_input_norm; PARITY.md #14).  'auto' folds only
+    # where it measured faster — the dense test (+5.8%, uint8 windows
+    # feed the stem directly); the stochastic recipes already have
+    # Normalize fused into the jitter chain by XLA and measured −3..4%
+    # with the fold (tools/probes/probe_fold.py, docs/RESULTS.md).
+    # 'on'/'off' force it.
+    fold_normalize: str = "auto"
     cross_replica_bn: bool = False  # reference BN is per-replica (unsynced)
     remat: bool = False          # jax.checkpoint the backbone to save HBM
     donate: bool = True
@@ -182,8 +186,10 @@ class EvalConfig:
     # jitted step (data/device_augment.py:finetune_augment_batch)
     device_augment: bool = False
     # fold the recipes' Normalize into the stem conv when device_augment
-    # (dense test then feeds raw uint8 windows to the model; PARITY.md #14)
-    fold_normalize: bool = True
+    # (PARITY.md #14): 'auto' = dense test only (uint8 windows feed the
+    # stem directly, measured +5.8%; the stochastic finetune/val recipes
+    # measured −3.3% — probe_fold.py); 'on'/'off' force it
+    fold_normalize: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -135,12 +135,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "(bit-identical to the host chain; with "
                         "--five_crop the forward batch is 5x "
                         "--window_batch)")
-    p.add_argument("--no_fold_normalize", action="store_true",
-                   help="with --device_augment: keep the literal "
-                        "Normalize pass instead of folding it into the "
-                        "stem conv (the fold trades bit-identity with "
-                        "the host chain for one fewer whole-activation "
-                        "traversal; PARITY.md #14)")
+    p.add_argument("--fold_normalize", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="fold the --device_augment Normalize into the "
+                        "stem conv (PARITY.md #14). auto: dense test "
+                        "only (uint8 windows feed the stem, +5.8%% "
+                        "measured; trades host-chain bit-identity for "
+                        "rounding-level agreement) and off for the "
+                        "stochastic finetune/val recipes (-3.3%% "
+                        "measured); on/off force it")
     return p
 
 
@@ -171,7 +174,7 @@ def config_from_args(args) -> ExperimentConfig:
                         backbone_lr_scale=args.backbone_lr_scale,
                         five_crop=args.five_crop, remat=args.remat,
                         device_augment=args.device_augment,
-                        fold_normalize=not args.no_fold_normalize),
+                        fold_normalize=args.fold_normalize),
     )
 
 

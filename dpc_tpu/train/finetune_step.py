@@ -48,7 +48,9 @@ def make_finetune_step(model_cfg: DPCConfig, eval_cfg: EvalConfig, mesh,
     batch ``[B, N, SL, H, W, 3]`` + labels ``[B]`` sharded over 'data'.
     """
     dtype = dtype_of(model_cfg.compute_dtype)
-    fold = eval_cfg.device_augment and eval_cfg.fold_normalize
+    # stochastic recipe: fold only when forced 'on' (measured −3.3% on
+    # chip; probe_fold.py)
+    fold = eval_cfg.device_augment and eval_cfg.fold_normalize == "on"
     in_norm = device_augment.INPUT_NORM_01 if fold else None
 
     def fwd(params, bn_state, batch, key):
@@ -111,7 +113,7 @@ def make_finetune_eval_step(model_cfg: DPCConfig, eval_cfg: EvalConfig,
     crop p=.3, flip, weak jitter — ``eval/test.py:150-176``); unused
     otherwise."""
     dtype = dtype_of(model_cfg.compute_dtype)
-    fold = eval_cfg.device_augment and eval_cfg.fold_normalize
+    fold = eval_cfg.device_augment and eval_cfg.fold_normalize == "on"
     in_norm = device_augment.INPUT_NORM_01 if fold else None
 
     def device_step(params, bn_state, batch, labels, key):
@@ -148,7 +150,10 @@ def make_test_forward(model_cfg: DPCConfig, eval_cfg: EvalConfig,
     input contract."""
     dtype = dtype_of(model_cfg.compute_dtype)
 
-    fold = eval_cfg.device_augment and eval_cfg.fold_normalize
+    # dense test: 'auto' folds (uint8 windows feed the stem directly —
+    # the f32 input is never materialised; measured +5.8%, probe_fold.py)
+    fold = (eval_cfg.device_augment
+            and eval_cfg.fold_normalize in ("auto", "on"))
     in_norm = device_augment.INPUT_NORM_U8 if fold else None
 
     @jax.jit
@@ -183,7 +188,8 @@ def make_test_forward_sharded(model_cfg: DPCConfig, eval_cfg: EvalConfig,
     contiguous per window — the caller accounts rows ×5)."""
     dtype = dtype_of(model_cfg.compute_dtype)
 
-    fold = eval_cfg.device_augment and eval_cfg.fold_normalize
+    fold = (eval_cfg.device_augment
+            and eval_cfg.fold_normalize in ("auto", "on"))
     in_norm = device_augment.INPUT_NORM_U8 if fold else None
 
     def device_fwd(params, bn_state, windows):

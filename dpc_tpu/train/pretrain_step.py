@@ -132,7 +132,10 @@ def make_pretrain_step(model_cfg: DPCConfig, train_cfg: TrainConfig,
                          "(the model axis shards clips + the global "
                          "candidate pool)")
 
-    fold = train_cfg.device_augment and train_cfg.fold_normalize
+    # stochastic recipes: fold only when forced 'on' (measured −4.3% on
+    # chip — XLA already fuses Normalize into the jitter chain here;
+    # probe_fold.py)
+    fold = train_cfg.device_augment and train_cfg.fold_normalize == "on"
     in_norm = device_augment.INPUT_NORM_01 if fold else None
 
     def fwd(params, batch, key):
@@ -241,7 +244,7 @@ def make_eval_step(model_cfg: DPCConfig, train_cfg: TrainConfig, mesh):
     nce_impl = resolve_nce_impl(train_cfg, model_cfg, n_data, n_model)
     use_fused = nce_impl == "fused"
 
-    fold = train_cfg.device_augment and train_cfg.fold_normalize
+    fold = train_cfg.device_augment and train_cfg.fold_normalize == "on"
     in_norm = device_augment.INPUT_NORM_01 if fold else None
 
     def device_step(params, batch, key):

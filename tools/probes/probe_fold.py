@@ -42,7 +42,7 @@ def timed(fn, *args):
 def run_pretrain(fold):
     t = TrainConfig(batch_size=64, device_augment=True,
                     device_augment_recipe="sized_crop",
-                    fold_normalize=fold)
+                    fold_normalize=fold, donate=False)
     tx = optim.torch_adam(t.lr, t.wd)
     step = pretrain_step.make_pretrain_step(m, t, mesh, tx)
     state = pretrain_step.init_train_state(jax.random.PRNGKey(0), m, t, tx)
