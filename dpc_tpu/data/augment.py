@@ -52,11 +52,28 @@ def frame_consistent(transform) -> bool:
     decode-each-frame-once path (``video_dataset.FrameClipDataset.sample``):
     overlapping windows can then share one decoded+transformed copy of each
     unique frame, exactly as the reference slices its pre-transformed
-    tensor (``eval/dataset_3d_lc.py:95,109-125``).  Ops without a
-    ``consistent`` attribute (Scale, Normalize, FiveCrop, ...) are
-    deterministic per frame and qualify."""
-    ops = getattr(transform, "ops", [transform])
-    return all(getattr(op, "consistent", True) for op in ops)
+    tensor (``eval/dataset_3d_lc.py:95,109-125``).
+
+    Classification is closed-world and conservative: the module's
+    deterministic ops are whitelisted, random ops report their own
+    ``consistent`` flag, and containers/wrappers (Compose, PerCrop,
+    HostScaleCrop) recurse into their children — so a per-frame-random op
+    nested inside a wrapper can't be misclassified.  Anything
+    unrecognised returns False: an unknown op disables the dedupe
+    (correct, just slower) rather than silently sharing one random draw
+    across window occurrences."""
+    if isinstance(transform, Compose):
+        return all(frame_consistent(op) for op in transform.ops)
+    if isinstance(transform, PerCrop):
+        return frame_consistent(transform.op)
+    if isinstance(transform, HostScaleCrop):
+        return all(frame_consistent(op) for op in (
+            transform._scale, transform._pad, transform._crop))
+    if hasattr(transform, "consistent"):
+        return bool(transform.consistent)
+    return isinstance(transform,
+                      (Padding, Scale, CenterCrop, FiveCrop, PadTo,
+                       Normalize))
 
 
 class Compose:

@@ -41,6 +41,27 @@ INPUT_NORM_01 = (IMAGENET_MEAN, IMAGENET_STD, 1.0)
 INPUT_NORM_U8 = (IMAGENET_MEAN, IMAGENET_STD, 255.0)
 
 
+def resolve_fold(cfg, dense_test: bool = False):
+    """Resolve the ``--fold_normalize`` policy (THE single definition —
+    the train/eval/test steps all call this) to ``(fold, input_norm)``.
+
+    Dense test (deterministic uint8 recipe): 'auto' folds — measured
+    +5.8% on chip, the uint8 windows feed the stem directly
+    (``tools/probes/probe_fold.py``).  Stochastic train/val recipes:
+    fold only when forced 'on' — XLA already fuses Normalize into the
+    jitter chain there and the fold measured −4.3%.  Callers pass the
+    recipe ``normalize_out=not fold`` and the model
+    ``input_norm=input_norm``.
+    """
+    if not getattr(cfg, "device_augment", False):
+        return False, None
+    if dense_test:
+        fold = cfg.fold_normalize in ("auto", "on")
+        return fold, (INPUT_NORM_U8 if fold else None)
+    fold = cfg.fold_normalize == "on"
+    return fold, (INPUT_NORM_01 if fold else None)
+
+
 def device_augment_geometry(dataset: str, img_dim: int,
                             task: str = "pretrain"
                             ) -> tuple[int, tuple[int, int]]:

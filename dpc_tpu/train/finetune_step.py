@@ -50,8 +50,7 @@ def make_finetune_step(model_cfg: DPCConfig, eval_cfg: EvalConfig, mesh,
     dtype = dtype_of(model_cfg.compute_dtype)
     # stochastic recipe: fold only when forced 'on' (measured −3.3% on
     # chip; probe_fold.py)
-    fold = eval_cfg.device_augment and eval_cfg.fold_normalize == "on"
-    in_norm = device_augment.INPUT_NORM_01 if fold else None
+    fold, in_norm = device_augment.resolve_fold(eval_cfg)
 
     def fwd(params, bn_state, batch, key):
         return lc.apply_lc(
@@ -113,8 +112,7 @@ def make_finetune_eval_step(model_cfg: DPCConfig, eval_cfg: EvalConfig,
     crop p=.3, flip, weak jitter — ``eval/test.py:150-176``); unused
     otherwise."""
     dtype = dtype_of(model_cfg.compute_dtype)
-    fold = eval_cfg.device_augment and eval_cfg.fold_normalize == "on"
-    in_norm = device_augment.INPUT_NORM_01 if fold else None
+    fold, in_norm = device_augment.resolve_fold(eval_cfg)
 
     def device_step(params, bn_state, batch, labels, key):
         if eval_cfg.device_augment:
@@ -152,9 +150,7 @@ def make_test_forward(model_cfg: DPCConfig, eval_cfg: EvalConfig,
 
     # dense test: 'auto' folds (uint8 windows feed the stem directly —
     # the f32 input is never materialised; measured +5.8%, probe_fold.py)
-    fold = (eval_cfg.device_augment
-            and eval_cfg.fold_normalize in ("auto", "on"))
-    in_norm = device_augment.INPUT_NORM_U8 if fold else None
+    fold, in_norm = device_augment.resolve_fold(eval_cfg, dense_test=True)
 
     @jax.jit
     def forward(params, bn_state, windows):
@@ -188,9 +184,7 @@ def make_test_forward_sharded(model_cfg: DPCConfig, eval_cfg: EvalConfig,
     contiguous per window — the caller accounts rows ×5)."""
     dtype = dtype_of(model_cfg.compute_dtype)
 
-    fold = (eval_cfg.device_augment
-            and eval_cfg.fold_normalize in ("auto", "on"))
-    in_norm = device_augment.INPUT_NORM_U8 if fold else None
+    fold, in_norm = device_augment.resolve_fold(eval_cfg, dense_test=True)
 
     def device_fwd(params, bn_state, windows):
         if eval_cfg.device_augment:

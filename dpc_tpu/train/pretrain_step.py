@@ -135,8 +135,7 @@ def make_pretrain_step(model_cfg: DPCConfig, train_cfg: TrainConfig,
     # stochastic recipes: fold only when forced 'on' (measured −4.3% on
     # chip — XLA already fuses Normalize into the jitter chain here;
     # probe_fold.py)
-    fold = train_cfg.device_augment and train_cfg.fold_normalize == "on"
-    in_norm = device_augment.INPUT_NORM_01 if fold else None
+    fold, in_norm = device_augment.resolve_fold(train_cfg)
 
     def fwd(params, batch, key):
         return dpc.apply_dpc(params, batch, cfg=model_cfg, train=True,
@@ -204,10 +203,15 @@ def make_pretrain_step(model_cfg: DPCConfig, train_cfg: TrainConfig,
         (loss, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, batch, key)
         if shard_clips:
-            # each peer's grad is the PARTIAL sum over its sub-batch:
-            # psum over 'model' rebuilds the data group's grad, then the
-            # usual pmean over 'data' (a model-pmean would undercount m×)
-            grads = jax.lax.psum(grads, MODEL_AXIS)
+            # every model peer recomputes the IDENTICAL post-gather loss,
+            # and the all_gather transpose (a psum-scatter) routes all m
+            # peers' cotangents back through each peer's sub-batch — so
+            # each peer's grad already carries an m-factor of the full
+            # data-group grad.  pmean over 'model' removes it (a psum
+            # would overcount m×: measured exactly 2.000× update norm on
+            # {data:4, model:2} with SGD; tests/test_train_step.py pins
+            # the norm ratio).
+            grads = jax.lax.pmean(grads, MODEL_AXIS)
         grads = jax.lax.pmean(grads, DATA_AXIS)
         metrics = jax.lax.pmean({"loss": loss, **metrics},
                                 (DATA_AXIS, MODEL_AXIS) if shard_clips
@@ -244,8 +248,7 @@ def make_eval_step(model_cfg: DPCConfig, train_cfg: TrainConfig, mesh):
     nce_impl = resolve_nce_impl(train_cfg, model_cfg, n_data, n_model)
     use_fused = nce_impl == "fused"
 
-    fold = train_cfg.device_augment and train_cfg.fold_normalize == "on"
-    in_norm = device_augment.INPUT_NORM_01 if fold else None
+    fold, in_norm = device_augment.resolve_fold(train_cfg)
 
     def device_step(params, batch, key):
         if train_cfg.device_augment:

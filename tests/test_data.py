@@ -426,6 +426,20 @@ class TestDenseTestDecodeOnce:
         assert A.frame_consistent(A.HostScaleCrop(240, (224, 224),
                                                   center=True))
         assert not A.frame_consistent(A.pretrain_transform("ucf101", 64))
+        # wrappers recurse: a per-frame-random op can't hide inside
+        # PerCrop or a nested Compose
+        assert not A.frame_consistent(A.Compose([
+            A.FiveCrop(64),
+            A.PerCrop(A.ColorJitter(0.5, 0.5, 0.5, 0.2, consistent=False)),
+            A.Normalize()]))
+        assert not A.frame_consistent(A.Compose([
+            A.Compose([A.RandomGray(consistent=False, p=1.0)]),
+            A.Normalize()]))
+        assert A.frame_consistent(A.Compose([
+            A.FiveCrop(64), A.PerCrop(A.Scale(64)), A.Normalize()]))
+        # closed-world: an unknown op disables the dedupe instead of
+        # defaulting to frame-consistent
+        assert not A.frame_consistent(A.Compose([lambda c, rng: c]))
 
 
 class TestBatchedNativeDecode:

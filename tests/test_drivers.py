@@ -131,14 +131,17 @@ pretrain.main({TINY!r} + ["--pred_step", "1", "--epochs", "50",
                             stdout=subprocess.PIPE,
                             stderr=subprocess.STDOUT, text=True,
                             cwd="/root/repo")
-    # wait until training is actually stepping, then preempt
+    # wait until training is actually stepping, then preempt.  TINY
+    # epochs are 2 steps long, so the first marker that proves both
+    # "stepping" and "a step checkpoint already landed" is epoch 1's
+    # first print (save_every_steps=1 saved after each epoch-0 step).
     saw_step = False
     t0 = _time.time()
     lines = []
     while _time.time() - t0 < 600:
         line = proc.stdout.readline()
         lines.append(line)
-        if "[train] epoch 0 [2" in line:
+        if "[train] epoch 1 [" in line:
             saw_step = True
             proc.send_signal(15)  # SIGTERM
             break

@@ -261,9 +261,14 @@ def test_model_axis_shards_clips_and_matches_data_only(setup):
     """{data:4, model:2} must compute exactly what {data:4} computes —
     the model axis shards the backbone over clips (each peer encodes its
     own B/(d·m) sub-batch, embeddings regroup for the candidate-sharded
-    scoring, partial grads psum over 'model') rather than replicating the
-    dominant FLOPs (VERDICT r3 weak-#3).  Dropout off: the clip split
-    necessarily re-shapes in-step mask draws."""
+    scoring, grads pmean over 'model' — each peer's grad already carries
+    the m-duplicated full-group cotangent through the all_gather
+    transpose) rather than replicating the dominant FLOPs (VERDICT r3
+    weak-#3).  Dropout off: the clip split necessarily re-shapes in-step
+    mask draws.  The Adam cosine check is scale-invariant, so an SGD run
+    additionally pins the raw UPDATE NORM ratio — the guard that catches
+    a uniform m× grad over/undercount (a psum-for-pmean bug measured
+    exactly 2.000× here)."""
     cfg = DPCConfig(img_dim=32, num_seq=3, seq_len=4, pred_step=1,
                     gru_dropout=0.0)
     params = dpc.init_dpc(jax.random.PRNGKey(0), cfg)
@@ -273,9 +278,9 @@ def test_model_axis_shards_clips_and_matches_data_only(setup):
         np.float32)
     key = jax.random.PRNGKey(7)
 
-    def run(mesh):
+    def run(mesh, tx=None):
         t = TrainConfig(batch_size=B, negatives="global", donate=False)
-        tx = optim.torch_adam(t.lr, t.wd)
+        tx = tx if tx is not None else optim.torch_adam(t.lr, t.wd)
         step = pretrain_step.make_pretrain_step(cfg, t, mesh, tx)
         state = pretrain_step.TrainState(
             params, tx.init(params), jnp.zeros((), jnp.int32))
@@ -304,3 +309,16 @@ def test_model_axis_shards_clips_and_matches_data_only(setup):
                            for b, p in zip(jax.tree.leaves(p_dp), base)])
     cos = float(d_mp @ d_dp / (np.linalg.norm(d_mp) * np.linalg.norm(d_dp)))
     assert cos > 0.999, cos
+
+    # scale-sensitive guard: one SGD(1.0) step, where update == −grad, so
+    # the norm ratio directly exposes any uniform m× grad miscount
+    import optax as _optax
+    s_mp, _, _ = run(meshlib.make_mesh(8, model_parallel=2),
+                     tx=_optax.sgd(1.0))
+    s_dp, _, _ = run(meshlib.make_mesh(4), tx=_optax.sgd(1.0))
+    g_mp = np.concatenate([(np.asarray(a) - np.asarray(p)).ravel()
+                           for a, p in zip(jax.tree.leaves(s_mp), base)])
+    g_dp = np.concatenate([(np.asarray(b) - np.asarray(p)).ravel()
+                           for b, p in zip(jax.tree.leaves(s_dp), base)])
+    ratio = float(np.linalg.norm(g_mp) / np.linalg.norm(g_dp))
+    np.testing.assert_allclose(ratio, 1.0, rtol=1e-4)
