@@ -53,6 +53,9 @@ def resolve_fold(cfg, dense_test: bool = False):
     recipe ``normalize_out=not fold`` and the model
     ``input_norm=input_norm``.
     """
+    if cfg.fold_normalize not in ("auto", "on", "off"):
+        raise ValueError("fold_normalize must be one of 'auto'|'on'|'off', "
+                         f"got {cfg.fold_normalize!r}")
     if not getattr(cfg, "device_augment", False):
         return False, None
     if dense_test:

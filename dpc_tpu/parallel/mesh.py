@@ -49,9 +49,12 @@ def shard_key(key: jax.Array, step=None, axis: str = DATA_AXIS) -> jax.Array:
         applies the identical random augmentation/dropout to its local
         rows (correlated noise the reference's DataParallel never has:
         its workers draw from one host RNG sequence);
-      * streams are IDENTICAL across 'model' peers — tensor-parallel
-        replicas must see the same batch bytes and the same dropout
-        mask or their matmul shards diverge;
+      * streams are IDENTICAL across 'model' peers as returned here.
+        Steps that shard CLIPS over the model axis (the pretrain steps
+        when ``model_parallel > 1``) additionally ``fold_in`` the model
+        ``axis_index`` themselves, because their peers hold DIFFERENT
+        samples and need decorrelated dropout; steps where model peers
+        genuinely replicate a computation must keep the synced stream;
       * streams are distinct across steps without the host re-seeding.
 
     Every train/eval step (``pretrain_step``, ``finetune_step``) derives

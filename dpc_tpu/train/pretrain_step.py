@@ -111,7 +111,10 @@ def make_pretrain_step(model_cfg: DPCConfig, train_cfg: TrainConfig,
     # scoring still sees the full per-data-group rows and global pool.
     # Semantics are unchanged: {data:d, model:m} computes exactly what
     # {data:d} computes on m× fewer chips per group (BN stats span the
-    # model group; pinned in tests/test_train_step.py).
+    # model group; pinned in tests/test_train_step.py).  With in-step
+    # dropout active the equivalence is statistical, not bitwise: peers
+    # hold different samples, so their dropout draws are decorrelated
+    # (the fold_in below), which re-shapes the mask lattice vs {data:d}.
     shard_clips = n_model > 1
     clip_spec = P((DATA_AXIS, MODEL_AXIS)) if shard_clips else P(DATA_AXIS)
     if shard_clips and local_b % n_model:
@@ -239,9 +242,18 @@ def make_eval_step(model_cfg: DPCConfig, train_cfg: TrainConfig, mesh):
     local_b = train_cfg.batch_size // n_data
     local_targets = jnp.asarray(nce.nce_targets(
         local_b, model_cfg.pred_step, model_cfg.sq))
-    # clip sharding mirrors the train step (see make_pretrain_step)
+    # clip sharding mirrors the train step (see make_pretrain_step),
+    # including its two config guards — standalone eval-step users must
+    # hit the same clear errors the train step raises
     shard_clips = n_model > 1
     clip_spec = P((DATA_AXIS, MODEL_AXIS)) if shard_clips else P(DATA_AXIS)
+    if shard_clips and local_b % n_model:
+        raise ValueError(f"per-data-group batch {local_b} not divisible "
+                         f"by model_parallel={n_model}")
+    if shard_clips and train_cfg.negatives != "global":
+        raise ValueError("--model_parallel > 1 requires --negatives global "
+                         "(the model axis shards clips + the global "
+                         "candidate pool)")
     # same impl resolution as the train step: in the capacity regime the
     # unfused global score matrix does not fit HBM, and validation must
     # not OOM a run whose training epochs succeed

@@ -227,6 +227,37 @@ def test_model_parallel_requires_global_negatives(setup):
     tx = optim.pretrain_optimizer(params, tcfg.lr, tcfg.wd)
     with pytest.raises(ValueError, match="negatives global"):
         pretrain_step.make_pretrain_step(CFG, tcfg, mp_mesh, tx)
+    # the eval step must refuse the same configs the train step refuses
+    # (a standalone eval-step user would otherwise hit an opaque shape
+    # error pairing per-peer scores with full-local_b targets)
+    with pytest.raises(ValueError, match="negatives global"):
+        pretrain_step.make_eval_step(CFG, tcfg, mp_mesh)
+    odd = TrainConfig(batch_size=12, negatives="global")  # local_b=3, m=2
+    with pytest.raises(ValueError, match="not divisible"):
+        pretrain_step.make_eval_step(CFG, odd, mp_mesh)
+    with pytest.raises(ValueError, match="not divisible"):
+        pretrain_step.make_pretrain_step(CFG, odd, mp_mesh, tx)
+
+
+def test_fold_normalize_validated():
+    """resolve_fold rejects unknown policy values instead of silently
+    treating them as 'off' (same contract as resolve_nce_impl)."""
+    from dpc_tpu.data import device_augment as DA
+    bad = TrainConfig(device_augment=True, fold_normalize="On")
+    with pytest.raises(ValueError, match="fold_normalize"):
+        DA.resolve_fold(bad)
+    legacy = TrainConfig(device_augment=True, fold_normalize=True)
+    with pytest.raises(ValueError, match="fold_normalize"):
+        DA.resolve_fold(legacy)
+    assert DA.resolve_fold(
+        TrainConfig(device_augment=True, fold_normalize="on")) \
+        == (True, DA.INPUT_NORM_01)
+    assert DA.resolve_fold(
+        TrainConfig(device_augment=True, fold_normalize="auto"),
+        dense_test=True) == (True, DA.INPUT_NORM_U8)
+    assert DA.resolve_fold(
+        TrainConfig(device_augment=False, fold_normalize="on")) \
+        == (False, None)
 
 
 def test_shard_key_streams():

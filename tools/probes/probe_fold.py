@@ -33,7 +33,9 @@ def timed(fn, *args):
     for _ in range(ITERS):
         out = fn(*args)
     jax.block_until_ready(out)
-    # scalarize-style drain: reduce to a scalar and fetch
+    # scalarize-style drain (block_until_ready alone can return early on
+    # the tunnelled backend): one scalar fetch, amortised over ITERS —
+    # the same additive cost lands on both A/B arms
     leaf = jax.tree.leaves(out)[0]
     float(jnp.sum(leaf)) if leaf.ndim else float(leaf)
     return (time.perf_counter() - t0) / ITERS * 1e3
@@ -42,24 +44,20 @@ def timed(fn, *args):
 def run_pretrain(fold):
     t = TrainConfig(batch_size=64, device_augment=True,
                     device_augment_recipe="sized_crop",
-                    fold_normalize=fold, donate=False)
+                    fold_normalize="on" if fold else "off", donate=False)
     tx = optim.torch_adam(t.lr, t.wd)
     step = pretrain_step.make_pretrain_step(m, t, mesh, tx)
     state = pretrain_step.init_train_state(jax.random.PRNGKey(0), m, t, tx)
     xb = jnp.asarray(rng.integers(
         0, 255, (64, m.num_seq, m.seq_len, 150, 200, 3), np.uint8))
     key = jax.random.PRNGKey(1)
-
-    def fn(s):
-        s2, met = step(s, xb, key)
-        return met["loss"]
-
     ms = timed(lambda s: step(s, xb, key)[1]["loss"], state)
     return ms, 64 / ms * 1e3
 
 
 def run_finetune(fold):
-    e = EvalConfig(batch_size=32, device_augment=True, fold_normalize=fold)
+    e = EvalConfig(batch_size=32, device_augment=True,
+                   fold_normalize="on" if fold else "off")
     tx = optim.torch_adam(e.lr, e.wd)
     step = finetune_step.make_finetune_step(m, e, mesh, tx, donate=False)
     params, bn = lc.init_lc(jax.random.PRNGKey(0), m, e.num_classes)
@@ -75,7 +73,8 @@ def run_finetune(fold):
 
 
 def run_dense_test(fold):
-    e = EvalConfig(device_augment=True, fold_normalize=fold)
+    e = EvalConfig(device_augment=True,
+                   fold_normalize="on" if fold else "off")
     fwd = finetune_step.make_test_forward_sharded(m, e, mesh, test_crop=224)
     fn = scalarize(fwd)
     params, bn = lc.init_lc(jax.random.PRNGKey(0), m, e.num_classes)
