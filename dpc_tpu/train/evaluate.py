@@ -665,7 +665,12 @@ def main(argv=None) -> None:
         def save_mid_epoch(ep, batch_idx, block=True):
             sid = ckpt.mid_epoch_step_id(ep, batch_idx)
             if step_mgr.latest_step() == sid:
-                return  # val-time preemption re-requesting a train save
+                # already saved, possibly async — a blocking request
+                # precedes a SystemExit, so flush before returning (see
+                # pretrain.save_mid_epoch)
+                if block:
+                    step_mgr.wait_until_finished()
+                return
             host = jax.device_get(state)
             ckpt.save(step_mgr, sid,
                       {"params": host.params, "bn_state": host.state,

@@ -36,7 +36,7 @@ class PreemptionGuard:
 
     def _handler(self, signum, frame):
         print(f"[preemption] signal {signum} received; will checkpoint "
-              "after the current step")
+              "after the current step", flush=True)
         self.requested = True
 
     def uninstall(self):
@@ -92,14 +92,18 @@ def run_epoch(dispatch, loader, meters, *, mode: str = "train",
             # epoch before its checkpoint lands; the reference's validate
             # just averages whatever it got (eval/test.py:278-301)
             print(f"[{mode}] WARNING: non-finite loss at epoch {epoch} "
-                  f"step {p_idx}: {metrics}")
+                  f"step {p_idx}: {metrics}", flush=True)
         meters.update(metrics, n=rows)
         if p_idx % print_freq == 0:
             dt = time.time() - tic
             tic = time.time()
+            # flush: progress lines must reach piped logs (nohup,
+            # supervisors) promptly — a preempted run's last lines are
+            # its forensic record, and the preemption tests gate SIGTERM
+            # on seeing them in real time
             print(f"[{mode}] epoch {epoch} [{p_idx}/{len(loader)}] "
                   + " ".join(f"{k} {v:.4f}" for k, v in metrics.items())
-                  + f" ({dt:.2f}s)")
+                  + f" ({dt:.2f}s)", flush=True)
             if print_fn is not None:
                 print_fn(p_idx, metrics)
 
@@ -146,4 +150,12 @@ def run_epoch(dispatch, loader, meters, *, mode: str = "train",
             raise SystemExit("[preemption] checkpointed and exiting")
     if pending is not None:
         drain(pending)
+    # a signal that lands during the LAST step's drain would otherwise
+    # ride past the epoch boundary (summary, epoch checkpoint, next
+    # epoch's first step) before the next in-loop check — exit at the
+    # boundary instead, checkpointing the completed-steps position
+    if guard is not None and guard.requested and steps > 0:
+        if step_save_fn is not None:
+            step_save_fn(epoch, idx, block=True)
+        raise SystemExit("[preemption] checkpointed and exiting")
     return steps

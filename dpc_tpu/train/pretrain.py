@@ -440,7 +440,14 @@ def main(argv=None) -> None:
             sid = ckpt.mid_epoch_step_id(ep, batch_idx,
                                          offset=live_iteration)
             if step_mgr.latest_step() == sid:
-                return  # val-time preemption re-requesting a train save
+                # already saved (val-time preemption re-requesting the
+                # train position, or the epoch-boundary guard check right
+                # after a periodic save) — but that save may have been
+                # ASYNC, and a blocking request precedes a SystemExit:
+                # the bytes must be on disk before the process dies
+                if block:
+                    step_mgr.wait_until_finished()
+                return
             host = jax.device_get(st)
             ckpt.save(step_mgr, sid,
                       {"params": host.params, "opt_state": host.opt_state,

@@ -127,7 +127,9 @@ pretrain.main({TINY!r} + ["--pred_step", "1", "--epochs", "50",
                "--steps_per_epoch", "0", "--save_every_steps", "1",
                "--log_dir", {log_dir!r}])
 """
-    proc = subprocess.Popen([sys.executable, "-c", code],
+    # -u: the SIGTERM below is gated on seeing a progress marker, so
+    # the child's pipe must not block-buffer its stdout
+    proc = subprocess.Popen([sys.executable, "-u", "-c", code],
                             stdout=subprocess.PIPE,
                             stderr=subprocess.STDOUT, text=True,
                             cwd="/root/repo")
@@ -346,7 +348,9 @@ os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \\
 from dpc_tpu.train import pretrain
 pretrain.main({args!r} + ["--epochs", "50"])
 """
-    proc = subprocess.Popen([sys.executable, "-c", code],
+    # -u: the SIGTERM below is gated on seeing a progress marker, so
+    # the child's pipe must not block-buffer its stdout
+    proc = subprocess.Popen([sys.executable, "-u", "-c", code],
                             stdout=subprocess.PIPE,
                             stderr=subprocess.STDOUT, text=True,
                             cwd="/root/repo")
