@@ -57,6 +57,23 @@ def ref_lc(sample_size: int, num_seq: int, seq_len: int, network: str,
               network=network, num_class=num_class, dropout=dropout).eval()
 
 
+def _stub_torchvision():
+    """Satisfy the reference's module-level torchvision imports (this box
+    has no torchvision wheel) with empty module objects; the code paths we
+    exercise never call into them."""
+    import types
+
+    for name in ("torchvision", "torchvision.transforms",
+                 "torchvision.transforms.functional", "torchvision.datasets",
+                 "torchvision.models", "torchvision.utils"):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            sys.modules[name] = mod
+            parent, _, child = name.rpartition(".")
+            if parent:
+                setattr(sys.modules[parent], child, mod)
+
+
 def ref_dataset_modules():
     """Import the reference dataset modules (``dpc/dataset_3d.py``,
     ``eval/dataset_3d_lc.py``) with a torchvision stub.
@@ -66,20 +83,33 @@ def ref_dataset_modules():
     box has no torchvision wheel, so satisfy the import with empty module
     objects.  Callers pass their own ``transform``.
     """
-    import types
-
-    for name in ("torchvision", "torchvision.transforms",
-                 "torchvision.transforms.functional"):
-        if name not in sys.modules:
-            mod = types.ModuleType(name)
-            sys.modules[name] = mod
-            parent, _, child = name.rpartition(".")
-            if parent:
-                setattr(sys.modules[parent], child, mod)
+    _stub_torchvision()
     import dataset_3d
     import dataset_3d_lc
 
     return dataset_3d, dataset_3d_lc
+
+
+def ref_eval_module():
+    """Import the live reference finetune driver (``eval/test.py``) as a
+    module, for its ``MultiStepLR_Restart_Multiplier`` and friends.
+
+    Loaded under a private name (importing it as ``test`` would shadow
+    the stdlib/pytest namespaces).  Module level only defines the argparse
+    parser and imports — ``parse_args`` happens inside ``main()`` — so the
+    import is side-effect-free beyond the torchvision stubs.
+    """
+    import importlib.util
+
+    name = "_ref_eval_test"
+    if name in sys.modules:
+        return sys.modules[name]
+    _stub_torchvision()
+    spec = importlib.util.spec_from_file_location(name, f"{REF}/eval/test.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
 
 
 def to_torch_video(x_ndhwc: np.ndarray) -> torch.Tensor:

@@ -247,5 +247,12 @@ def test_flagship_shape_forward_loss_and_step_parity():
             continue
         cos = float(np.dot(d_ours.ravel(), d_ref.ravel()) / denom)
         assert cos > 0.95, (ours, tkey, cos)
+        # magnitude too (VERDICT r4 weak-#4): a systematic LR / bias-
+        # correction scale bug at the flagship shape passes a cosine-only
+        # check; mean |Δ| within 5% like the toy-shape test above
+        ours_mag = np.abs(d_ours).mean()
+        ref_mag = np.abs(d_ref).mean()
+        assert abs(ours_mag - ref_mag) < 0.05 * max(ref_mag, 1e-12), \
+            (ours, ours_mag, ref_mag)
         checked += 1
     assert checked > 60
