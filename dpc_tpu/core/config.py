@@ -133,6 +133,10 @@ class TrainConfig:
     seed: int = 0
     # Parallelism (TPU-native; the reference's only strategy is DataParallel)
     num_devices: int = 0         # 0 = all visible devices
+    # size of the mesh's 'model' axis: >1 shards clips (and the pretrain
+    # NCE candidate pool) over ('data','model') — both drivers accept it
+    # (train/pretrain_step.py, train/finetune_step.py)
+    model_parallel: int = 1
     negatives: str = "local"     # "local" (= reference per-GPU semantics) | "global"
     # NCE loss implementation: "auto" picks by projected score-matrix bytes
     # (ops/nce.pick_nce_impl — XLA when the score fits HBM, flash Pallas

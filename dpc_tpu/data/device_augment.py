@@ -312,7 +312,9 @@ def test_preprocess_batch(clips: jax.Array, img_dim: int, crop_size: int,
 
 def finetune_augment_batch(key: jax.Array, clips: jax.Array, img_dim: int,
                            mode: str = "train",
-                           normalize_out: bool = True) -> jax.Array:
+                           normalize_out: bool = True,
+                           sample_keys: "jax.Array | None" = None
+                           ) -> jax.Array:
     """Device half of the finetune/probe recipes
     (``augment.finetune_transform``; reference ``eval/test.py:121-176``):
 
@@ -325,6 +327,11 @@ def finetune_augment_batch(key: jax.Array, clips: jax.Array, img_dim: int,
     ``img_dim`` (crop geometry identical; see PARITY.md).  All draws are
     clip-consistent, matching the reference recipe.  ``clips``:
     ``[B, N, SL, H, W, C]`` uint8 full-geometry windows.
+
+    ``sample_keys`` [b, ...]: caller-supplied per-sample streams — same
+    contract as :func:`augment_batch`: clip-sharded model peers slice one
+    per-data-group key set so every sample draws the same augmentation
+    regardless of how the batch is split across peers.
     """
     b, n, sl, h, w, c = clips.shape
     # stay uint8 until AFTER the crop: the gathers promote to f32 at the
@@ -348,7 +355,7 @@ def finetune_augment_batch(key: jax.Array, clips: jax.Array, img_dim: int,
         out = jnp.where(jax.random.bernoulli(kq, 0.3), jit, out)
         return normalize(out) if normalize_out else out
 
-    keys = jax.random.split(key, b)
+    keys = jax.random.split(key, b) if sample_keys is None else sample_keys
     out = jax.vmap(per_sample)(keys, flat)
     return out.reshape(b, n, sl, img_dim, img_dim, c)
 

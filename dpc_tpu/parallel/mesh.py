@@ -50,8 +50,8 @@ def shard_key(key: jax.Array, step=None, axis: str = DATA_AXIS) -> jax.Array:
         rows (correlated noise the reference's DataParallel never has:
         its workers draw from one host RNG sequence);
       * streams are IDENTICAL across 'model' peers as returned here.
-        Steps that shard CLIPS over the model axis (the pretrain steps
-        when ``model_parallel > 1``) additionally ``fold_in`` the model
+        Steps that shard CLIPS over the model axis (the pretrain AND
+        finetune steps when ``model_parallel > 1``) ``fold_in`` the model
         ``axis_index`` themselves, because their peers hold DIFFERENT
         samples and need decorrelated dropout; steps where model peers
         genuinely replicate a computation must keep the synced stream;
@@ -69,12 +69,11 @@ def shard_key(key: jax.Array, step=None, axis: str = DATA_AXIS) -> jax.Array:
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis (batch) sharding.
 
-    With a model axis of size > 1 the pretrain steps shard CLIPS over
+    With a model axis of size > 1 the train/eval steps shard CLIPS over
     ('data', 'model') (every peer encodes its own sub-batch —
-    ``train/pretrain_step.py``), so the host batch is placed the same
-    way; a pure-data mesh keeps the plain 'data' split.  Steps that only
-    shard over 'data' (finetune/test) see the identical layout on their
-    mesh (model size 1)."""
+    ``train/pretrain_step.py``, ``train/finetune_step.py``), so the host
+    batch is placed the same way; a pure-data mesh keeps the plain 'data'
+    split."""
     if mesh.shape.get(MODEL_AXIS, 1) > 1:
         return NamedSharding(mesh, P((DATA_AXIS, MODEL_AXIS)))
     return NamedSharding(mesh, P(DATA_AXIS))

@@ -82,6 +82,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
     p.add_argument("--num_devices", default=0, type=int)
+    p.add_argument("--model_parallel", default=1, type=int,
+                   help="mesh 'model' axis size: clips shard over it in "
+                        "the finetune/val steps and window rows in the "
+                        "dense test (LC has no cross-sample loss term, so "
+                        "no regroup collective is needed — see "
+                        "finetune_step._clip_layout); lets a pod "
+                        "provisioned {data x model} for pretraining run "
+                        "the downstream driver on the same mesh shape")
     p.add_argument("--num_workers", default=8, type=int)
     p.add_argument("--prefetch", default=4, type=int,
                    help="batches each loader keeps decoded ahead")
@@ -166,6 +174,7 @@ def config_from_args(args) -> ExperimentConfig:
                         test_tail_window=args.test_tail_window),
         train=TrainConfig(batch_size=args.batch_size, seed=args.seed,
                           num_devices=args.num_devices,
+                          model_parallel=args.model_parallel,
                           print_freq=args.print_freq),
         eval=EvalConfig(num_classes=num_classes, dropout=args.dropout,
                         train_what=args.train_what, lr=args.lr, wd=args.wd,
@@ -277,9 +286,13 @@ def run_test(cfg: ExperimentConfig, params, bn_state, exp_dir: str,
     e = cfg.eval
     ds = get_dataset(cfg, "test", unit_test)
     mesh = meshlib.make_mesh(
-        cfg.train.num_devices,
+        cfg.train.num_devices, cfg.train.model_parallel,
         devices=jax.local_devices() if num_shards > 1 else None)
-    n_dev = mesh.shape[meshlib.DATA_AXIS]
+    # window rows shard over BOTH axes (finetune_step.
+    # make_test_forward_sharded), so round the pooled batch to the full
+    # device count
+    n_dev = mesh.shape[meshlib.DATA_AXIS] * mesh.shape.get(
+        meshlib.MODEL_AXIS, 1)
     wb = window_batch or 8 * n_dev
     wb = -(-wb // n_dev) * n_dev
     # --device_augment: uint8 window rows in, the forward expands each
@@ -451,8 +464,8 @@ def main(argv=None) -> None:
 
     shard_id, num_shards = (meshlib.init_multihost() if args.multihost
                             else (0, 1))
-    mesh = meshlib.make_mesh(t.num_devices)
-    n_dev = mesh.shape["data"]
+    mesh = meshlib.make_mesh(t.num_devices, t.model_parallel)
+    n_dev = mesh.shape["data"] * mesh.shape.get("model", 1)
     if t.batch_size % n_dev:
         raise SystemExit(f"--batch_size {t.batch_size} must be divisible "
                          f"by {n_dev} devices")

@@ -18,7 +18,49 @@ from jax.sharding import PartitionSpec as P
 from dpc_tpu.core.config import DPCConfig, EvalConfig, dtype_of
 from dpc_tpu.data import device_augment
 from dpc_tpu.models import lc
-from dpc_tpu.parallel.mesh import DATA_AXIS, shard_key
+from dpc_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, shard_key
+
+
+def _clip_layout(mesh, batch_size: int):
+    """Resolve the downstream clip-sharding layout for ``mesh``.
+
+    Returns (shard_clips, clip_spec, reduce_axes, bn_axis).  Like the
+    pretrain steps (``pretrain_step.make_pretrain_step``), a mesh with a
+    'model' axis of size m > 1 shards CLIPS over ('data', 'model'): every
+    peer runs the LC forward on its own B/(d·m) sub-batch.  LC is simpler
+    than pretrain — cross-entropy is per-sample, so no embedding regroup
+    is needed at all: the per-peer mean loss pmean'd over both axes IS the
+    data group's mean, and grads/metrics/BN-EMA reduce the same way.  BN
+    batch statistics sync over 'model' so they span the data shard's full
+    local_b samples — the reference's per-GPU (per-data-shard) semantics,
+    making {data:d, model:m} compute exactly what {data:d} computes
+    (pinned in tests/test_finetune_mp.py).
+    """
+    n_data = mesh.shape[DATA_AXIS]
+    n_model = mesh.shape.get(MODEL_AXIS, 1)
+    shard_clips = n_model > 1
+    if shard_clips and (batch_size // n_data) % n_model:
+        raise ValueError(
+            f"per-data-group batch {batch_size // n_data} not divisible "
+            f"by model_parallel={n_model}")
+    clip_spec = P((DATA_AXIS, MODEL_AXIS)) if shard_clips else P(DATA_AXIS)
+    reduce_axes = (DATA_AXIS, MODEL_AXIS) if shard_clips else DATA_AXIS
+    bn_axis = MODEL_AXIS if shard_clips else None
+    return shard_clips, clip_spec, reduce_axes, bn_axis
+
+
+def _peer_sample_keys(akey: jax.Array, rows_local: int, shard_clips: bool,
+                      n_model: int) -> jax.Array:
+    """Per-sample augmentation streams that are invariant to the clip
+    split: one key set per DATA GROUP, sliced by model peer — each sample
+    draws the same augmentation whether the group runs on 1 or m peers
+    (same trick as ``pretrain_step``)."""
+    if not shard_clips:
+        return jax.random.split(akey, rows_local)
+    keys = jax.random.split(akey, rows_local * n_model)
+    im = jax.lax.axis_index(MODEL_AXIS)
+    return jax.lax.dynamic_slice_in_dim(keys, im * rows_local,
+                                        rows_local, 0)
 
 
 class FinetuneState(NamedTuple):
@@ -45,9 +87,16 @@ def make_finetune_step(model_cfg: DPCConfig, eval_cfg: EvalConfig, mesh,
     """(state, batch, labels, key, lr_scale) → (state, metrics).
 
     ``lr_scale`` multiplies the update (schedule without recompilation);
-    batch ``[B, N, SL, H, W, 3]`` + labels ``[B]`` sharded over 'data'.
+    batch ``[B, N, SL, H, W, 3]`` + labels ``[B]`` sharded over 'data'
+    (over ('data','model') when the mesh has a model axis — clips are
+    sharded across the whole mesh, see ``_clip_layout``; with in-step
+    dropout the {d,m} ≡ {d} equivalence is statistical, not bitwise:
+    peers hold different samples so their dropout draws decorrelate).
     """
     dtype = dtype_of(model_cfg.compute_dtype)
+    n_model = mesh.shape.get(MODEL_AXIS, 1)
+    shard_clips, clip_spec, reduce_axes, bn_axis = _clip_layout(
+        mesh, eval_cfg.batch_size)
     # stochastic recipe: fold only when forced 'on' (measured −3.3% on
     # chip; probe_fold.py)
     fold, in_norm = device_augment.resolve_fold(eval_cfg)
@@ -56,7 +105,8 @@ def make_finetune_step(model_cfg: DPCConfig, eval_cfg: EvalConfig, mesh,
         return lc.apply_lc(
             params, bn_state, batch, cfg=model_cfg,
             num_classes=eval_cfg.num_classes, dropout=eval_cfg.dropout,
-            train=True, key=key, dtype=dtype, input_norm=in_norm)
+            train=True, key=key, dtype=dtype, axis_name=bn_axis,
+            input_norm=in_norm)
 
     if eval_cfg.remat:
         # recompute activations in the backward instead of dying on HBM
@@ -78,18 +128,29 @@ def make_finetune_step(model_cfg: DPCConfig, eval_cfg: EvalConfig, mesh,
         key = shard_key(key, state.step)
         if eval_cfg.device_augment:
             key, akey = jax.random.split(key)
+            sample_keys = _peer_sample_keys(akey, batch.shape[0],
+                                            shard_clips, n_model)
             batch = device_augment.finetune_augment_batch(
                 akey, batch, model_cfg.img_dim, mode="train",
-                normalize_out=not fold)
+                normalize_out=not fold, sample_keys=sample_keys)
+        if shard_clips:
+            # peers hold DIFFERENT samples: decorrelate their dropout
+            key = jax.random.fold_in(key, jax.lax.axis_index(MODEL_AXIS))
         (_, (metrics, new_bn)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.state, batch,
                                    labels, key)
-        grads = jax.lax.pmean(grads, DATA_AXIS)
-        metrics = jax.lax.pmean(metrics, DATA_AXIS)
+        # the per-peer loss is a mean over its own rows, so pmean over
+        # ('data','model') — equal-size sub-batches — IS the global-batch
+        # mean grad: no regroup collective at all (CE is per-sample,
+        # unlike pretrain's cross-batch NCE pool)
+        grads = jax.lax.pmean(grads, reduce_axes)
+        metrics = jax.lax.pmean(metrics, reduce_axes)
         # BN running stats are per-replica in the reference (DataParallel);
         # we average them across replicas — strictly better statistics,
-        # identical in the single-device case.
-        new_bn = jax.lax.pmean(new_bn, DATA_AXIS)
+        # identical in the single-device case.  (With clip sharding the
+        # batch stats already sync over 'model' — see _clip_layout — so
+        # peers agree and this pmean reduces to the {data}-only one.)
+        new_bn = jax.lax.pmean(new_bn, reduce_axes)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         updates = jax.tree.map(lambda u: u * lr_scale, updates)
         params = optax.apply_updates(state.params, updates)
@@ -98,7 +159,7 @@ def make_finetune_step(model_cfg: DPCConfig, eval_cfg: EvalConfig, mesh,
 
     sharded = jax.shard_map(
         device_step, mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(), P()),
+        in_specs=(P(), clip_spec, clip_spec, P(), P()),
         out_specs=(P(), P()), check_vma=False)
     return jax.jit(sharded, donate_argnums=(0,) if donate else ())
 
@@ -110,16 +171,23 @@ def make_finetune_eval_step(model_cfg: DPCConfig, eval_cfg: EvalConfig,
     ``key`` drives the device half of the val augmentation recipe when
     ``device_augment`` (the reference's val transform is stochastic too:
     crop p=.3, flip, weak jitter — ``eval/test.py:150-176``); unused
-    otherwise."""
+    otherwise.  Clip-sharded over ('data','model') when the mesh has a
+    model axis, like the train step (eval mode uses running BN stats, so
+    the forward is purely per-sample — the split is exact)."""
     dtype = dtype_of(model_cfg.compute_dtype)
+    n_model = mesh.shape.get(MODEL_AXIS, 1)
+    shard_clips, clip_spec, reduce_axes, _ = _clip_layout(
+        mesh, eval_cfg.batch_size)
     fold, in_norm = device_augment.resolve_fold(eval_cfg)
 
     def device_step(params, bn_state, batch, labels, key):
         if eval_cfg.device_augment:
             key = shard_key(key)
+            sample_keys = _peer_sample_keys(key, batch.shape[0],
+                                            shard_clips, n_model)
             batch = device_augment.finetune_augment_batch(
                 key, batch, model_cfg.img_dim, mode="val",
-                normalize_out=not fold)
+                normalize_out=not fold, sample_keys=sample_keys)
         logits, _, _ = lc.apply_lc(
             params, bn_state, batch, cfg=model_cfg,
             num_classes=eval_cfg.num_classes, dropout=eval_cfg.dropout,
@@ -128,11 +196,11 @@ def make_finetune_eval_step(model_cfg: DPCConfig, eval_cfg: EvalConfig,
         return jax.lax.pmean({
             "loss": softmax_xent(logits, labels),
             "top1": _accuracy(logits, labels, 1),
-            "top5": _accuracy(logits, labels, 5)}, DATA_AXIS)
+            "top5": _accuracy(logits, labels, 5)}, reduce_axes)
 
     sharded = jax.shard_map(
         device_step, mesh=mesh,
-        in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P()),
+        in_specs=(P(), P(), clip_spec, clip_spec, P()),
         out_specs=P(), check_vma=False)
     return jax.jit(sharded)
 
@@ -181,8 +249,17 @@ def make_test_forward_sharded(model_cfg: DPCConfig, eval_cfg: EvalConfig,
     windows and the deterministic test recipe (center/5-crop → NEAREST
     scale → normalize) runs here, bit-identically to the host chain;
     the 5-crop variant returns ``[5*WB_local]`` rows per shard (crops
-    contiguous per window — the caller accounts rows ×5)."""
+    contiguous per window — the caller accounts rows ×5).
+
+    A mesh with a model axis shards the window rows over
+    ('data','model') — the forward is per-row, so a pod provisioned
+    {data×model} for pretraining runs the dense test on the same mesh
+    shape with every chip busy (row order is preserved: the combined
+    spec splits the leading axis row-major over the device grid)."""
     dtype = dtype_of(model_cfg.compute_dtype)
+    n_model = mesh.shape.get(MODEL_AXIS, 1)
+    row_spec = (P((DATA_AXIS, MODEL_AXIS)) if n_model > 1
+                else P(DATA_AXIS))
 
     fold, in_norm = device_augment.resolve_fold(eval_cfg, dense_test=True)
 
@@ -199,6 +276,6 @@ def make_test_forward_sharded(model_cfg: DPCConfig, eval_cfg: EvalConfig,
 
     sharded = jax.shard_map(
         device_fwd, mesh=mesh,
-        in_specs=(P(), P(), P(DATA_AXIS)), out_specs=P(DATA_AXIS),
+        in_specs=(P(), P(), row_spec), out_specs=row_spec,
         check_vma=False)
     return jax.jit(sharded)

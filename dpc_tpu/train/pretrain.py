@@ -150,6 +150,7 @@ def config_from_args(args) -> ExperimentConfig:
                           resume=args.resume, pretrain=args.pretrain,
                           reset_lr=args.reset_lr, seed=args.seed,
                           num_devices=args.num_devices,
+                          model_parallel=args.model_parallel,
                           negatives=args.negatives,
                           nce_impl=args.nce_impl,
                           cross_replica_bn=args.cross_replica_bn,
@@ -280,7 +281,7 @@ def main(argv=None) -> None:
 
     shard_id, num_shards = (meshlib.init_multihost() if args.multihost
                             else (0, 1))
-    mesh = meshlib.make_mesh(t.num_devices, args.model_parallel)
+    mesh = meshlib.make_mesh(t.num_devices, t.model_parallel)
     n_dev = mesh.shape["data"]
     print(f"devices: {dict(mesh.shape)} × {jax.devices()[0].platform}; "
           f"negatives={t.negatives}; dtype={m.compute_dtype}")
