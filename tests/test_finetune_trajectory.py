@@ -46,6 +46,12 @@ B, NUM_CLASSES = 4, 8
 
 
 def test_finetune_trajectory_tracks_reference():
+    # pin the torch RNG HERE, not only at ref_harness import: the init
+    # draws otherwise depend on which reference-using tests ran earlier
+    # in the process, and the calibrated budgets below are for THIS
+    # trajectory (chaotic dynamics — a different init is a different
+    # divergence curve, see test_train_parity's trajectory docstring)
+    torch.manual_seed(0)
     cfg = DPCConfig(img_dim=64, num_seq=4, seq_len=5, gru_dropout=0.0,
                     compute_dtype="float32")
     tmodel = ref.ref_lc(cfg.img_dim, cfg.num_seq, cfg.seq_len, cfg.network,

@@ -112,6 +112,12 @@ def test_multi_step_loss_trajectory_tracks_reference():
         hide in it): cumulative sum|dloss| / sum(ref loss) over steps
         20-59 <= 6e-2 (measured 2.35%), and the mean losses of the last
         20 steps within 2% (measured 0.3%)."""
+    # pin the torch RNG HERE, not only at ref_harness import: the init
+    # draws otherwise depend on which reference-using tests ran earlier
+    # in the process (adding a reference test to the suite shifted this
+    # init and pushed one step's divergence past its budget — a
+    # different init is a different chaotic trajectory)
+    torch.manual_seed(0)
     cfg = DPCConfig(img_dim=64, num_seq=4, seq_len=5, pred_step=2,
                     gru_dropout=0.0)
     B = 2
