@@ -7,11 +7,16 @@ crop / flip / channel-split gray / color jitter / normalisation run inside
 the jitted train step on the batch, vectorised over clips on the VPU.
 
 Ops mirror :mod:`dpc_tpu.data.augment` semantics (clip-consistent draws,
-per-frame gray/jitter when requested) with two documented deviations:
-  * resize uses bilinear ``jax.image.resize`` (XLA has no NEAREST-short-side
-    path worth using; the reference mixes NEAREST/BILINEAR anyway);
+per-frame gray/jitter when requested) with one documented deviation:
   * hue jitter rotates RGB about the gray axis (a linear approximation of
     the HSV hue walk — exact HSV is branch-heavy and hostile to the VPU).
+Resamples use the host chain's cv2 index math (``_cv2_nearest_idx`` for
+NEAREST, 2-tap bilinear for the crop) expressed as separable matmuls —
+the MXU form measured 3.1× faster than gather lowering on TPU
+(tools/probes/probe_da_levers.py), and the stochastic per-frame ops
+(gray pick, the 4-op color jitter) are algebraically fused into
+per-frame contractions so the recipe chain is bandwidth- not
+gather-bound (round-5 study, docs/RESULTS.md).
 
 Usage: keep the host transform at decode+Scale only, then call
 ``pretrain_augment(key, clips_uint8)`` inside the step (see
@@ -123,7 +128,8 @@ def _lin_weights(coords: jax.Array, src: int) -> jax.Array:
 
 def random_resized_crop(key: jax.Array, clip: jax.Array, out_size: int,
                         area_range=(0.5, 1.0),
-                        aspect_range=(3 / 4, 4 / 3)) -> jax.Array:
+                        aspect_range=(3 / 4, 4 / 3),
+                        flip: "jax.Array | None" = None) -> jax.Array:
     """Clip-consistent random area/aspect crop + resize.
 
     clip: ``[T, H, W, C]`` float or uint8 (converted at the matmul, so a
@@ -131,6 +137,12 @@ def random_resized_crop(key: jax.Array, clip: jax.Array, out_size: int,
     Single-attempt variant (a rejected draw clamps to the frame) —
     statistically close to the reference's 10-attempt loop but
     branch-free for XLA.  Returns f32 in the input's value scale.
+
+    ``flip`` (optional bool scalar): horizontal flip FOLDED into the
+    resample — reversing the output rows of the width matrix is
+    bit-identical to flipping the result (same per-element multiply-adds)
+    but costs a [out,W] select instead of a full-clip reverse+select
+    pass (~4.5 ms/batch on the recipe chains, probe_da_levers round-5).
     """
     t, h, w, c = clip.shape
     k1, k2, k3, k4 = jax.random.split(key, 4)
@@ -148,6 +160,8 @@ def random_resized_crop(key: jax.Array, clip: jax.Array, out_size: int,
     ys = y0 + (jnp.arange(out_size) + 0.5) * (ch / out_size) - 0.5
     wy = _lin_weights(ys, h)                     # [out, H]
     wx = _lin_weights(xs, w)                     # [out, W]
+    if flip is not None:
+        wx = jnp.where(flip, wx[::-1], wx)
     # HIGHEST: the weights are exact and the values fit bf16x3, so e.g.
     # the area=1.0 identity draw reproduces the input bit-for-bit
     return jnp.einsum("oh,thwc,pw->topc", wy,
@@ -162,7 +176,14 @@ def random_hflip(key: jax.Array, clip: jax.Array) -> jax.Array:
 
 def random_gray(key: jax.Array, clip: jax.Array, p: float = 0.5,
                 per_frame: bool = True) -> jax.Array:
-    """Channel splitting (reference RandomGray, augmentation.py:224-250)."""
+    """Channel splitting (reference RandomGray, augmentation.py:224-250).
+
+    The channel pick is a one-hot multiply-reduce, not a
+    ``take_along_axis``: same values bit-for-bit (one exact 1.0
+    coefficient per output), same isolated cost (3.1 vs 3.1 ms,
+    tools/probes/probe_da_levers.py), but the contraction form fuses
+    into the surrounding elementwise recipe chain where the dynamic
+    gather breaks fusion (chain A/B in docs/RESULTS.md round-5)."""
     t = clip.shape[0]
     shape = (t,) if per_frame else ()
     k1, k2 = jax.random.split(key)
@@ -170,10 +191,10 @@ def random_gray(key: jax.Array, clip: jax.Array, p: float = 0.5,
     chan = jax.random.randint(k2, shape, 0, 3)
     # reshape to full rank (leading axis broadcasts over T in the
     # clip-consistent per_frame=False mode)
-    picked = jnp.take_along_axis(
-        clip, chan.reshape((-1, 1, 1, 1)), axis=-1)
-    gray = jnp.broadcast_to(picked, clip.shape)
-    return jnp.where(apply.reshape((-1, 1, 1, 1)), gray, clip)
+    w = jax.nn.one_hot(chan, 3, dtype=clip.dtype).reshape((-1, 1, 1, 3))
+    gray = jnp.sum(clip * w, axis=-1, keepdims=True)
+    return jnp.where(apply.reshape((-1, 1, 1, 1)),
+                     jnp.broadcast_to(gray, clip.shape), clip)
 
 
 def color_jitter(key: jax.Array, clip: jax.Array, brightness=0.5,
@@ -193,29 +214,45 @@ def color_jitter(key: jax.Array, clip: jax.Array, brightness=0.5,
                             maxval=1 + saturation)
     fh = jax.random.uniform(kh, shape, minval=-hue, maxval=hue)
 
-    x = clip * fb                                           # brightness
-    lum = (x[..., :1] * 0.299 + x[..., 1:2] * 0.587
-           + x[..., 2:3] * 0.114)
-    mean = jnp.mean(lum, axis=(-3, -2, -1), keepdims=True)
-    x = x * fc + mean * (1 - fc)                            # contrast
-    x = x * fs + lum * (1 - fs)                             # saturation
-    # hue: rotate about the gray axis by 2π·fh
+    # All four ops are per-pixel AFFINE in the RGB vector with per-frame
+    # coefficients, so the chain composes into ONE per-frame 3×3 matrix
+    # + scalar bias applied in a single fused pass (the sequential
+    # brightness→contrast→saturation→hue form re-reads the clip ~4×;
+    # composition measured 1.9× faster isolated (7.8 → 4.1 ms),
+    # tools/probes/probe_da_levers.py, pinned vs the sequential op
+    # order in tests/test_device_augment.py;
+    # values identical up to fp reassociation ≤1e-6):
+    #   x1 = fb·x;  lum = L·x1;  m = mean(lum)
+    #   x2 = fc·x1 + (1-fc)·m        (contrast)
+    #   x3 = fs·x2 + (1-fs)·lum      (saturation)
+    #   x4 = R(2π·fh)·x3             (hue: rotation about the gray axis)
+    #   ⇒ M = R·(fs·fc·fb·I + (1-fs)·fb·𝟙Lᵀ),  β = fs·(1-fc)·fb·(Lᵀμ)
+    # with μ the frame's channel means and R·𝟙 = 𝟙 (gray axis is fixed).
+    n = fb.shape[0]
+    fb, fc, fs, fh = (f.reshape(n) for f in (fb, fc, fs, fh))
+    L = jnp.asarray([0.299, 0.587, 0.114], clip.dtype)
+    mu = jnp.mean(clip, axis=(-3, -2))                    # [T, 3]
+    m = fb * jnp.sum(mu * L, axis=-1)                     # frame luma mean
     theta = 2.0 * jnp.pi * fh
     cos, sin = jnp.cos(theta), jnp.sin(theta)
     one3 = 1.0 / 3.0
     sq3 = 1.0 / jnp.sqrt(3.0)
-    r, g, b = x[..., 0:1], x[..., 1:2], x[..., 2:3]
-    rr = (cos + (1 - cos) * one3) * r \
-        + (one3 * (1 - cos) - sq3 * sin) * g \
-        + (one3 * (1 - cos) + sq3 * sin) * b
-    gg = (one3 * (1 - cos) + sq3 * sin) * r \
-        + (cos + one3 * (1 - cos)) * g \
-        + (one3 * (1 - cos) - sq3 * sin) * b
-    bb = (one3 * (1 - cos) - sq3 * sin) * r \
-        + (one3 * (1 - cos) + sq3 * sin) * g \
-        + (cos + one3 * (1 - cos)) * b
-    x = jnp.concatenate([rr, gg, bb], axis=-1)
-    return jnp.clip(x, 0.0, 1.0)
+    a = cos + (1 - cos) * one3
+    bq = one3 * (1 - cos) - sq3 * sin
+    cq = one3 * (1 - cos) + sq3 * sin
+    R = jnp.stack([jnp.stack([a, bq, cq], -1),
+                   jnp.stack([cq, a, bq], -1),
+                   jnp.stack([bq, cq, a], -1)], -2)       # [n, 3, 3]
+    A = (fs * fc * fb)[:, None, None] * jnp.eye(3, dtype=clip.dtype) \
+        + ((1 - fs) * fb)[:, None, None] * (jnp.ones((3, 1), clip.dtype)
+                                            * L[None, :])
+    # HIGHEST: a [n,3,3] matmul is free, but the DEFAULT TPU precision
+    # would round the composed coefficients to bf16 (~4e-3 pixel error
+    # vs the sequential chain; with f32 coefficients it is ≤1e-6)
+    M = jnp.matmul(R, A, precision=jax.lax.Precision.HIGHEST)
+    beta = (fs * (1 - fc) * m)[:, None, None, None]       # [T, 1, 1, 1]
+    x = jnp.sum(clip[..., None, :] * M[:, None, None, :, :], axis=-1)
+    return jnp.clip(x + beta, 0.0, 1.0)
 
 
 def normalize(clip: jax.Array) -> jax.Array:
@@ -223,13 +260,44 @@ def normalize(clip: jax.Array) -> jax.Array:
 
 
 def resize_fixed(clip: jax.Array, out_size: int,
-                 method: str = "nearest") -> jax.Array:
+                 method: str = "nearest",
+                 flip: "jax.Array | None" = None) -> jax.Array:
     """Fixed spatial resize of ``[T, H, W, C]`` to ``out_size``².
 
     NEAREST by default: the reference's Scale op is NEAREST
     (``utils/augmentation.py:20``) and the interpolation choice visibly
-    changes the output noise statistics (bilinear low-passes)."""
+    changes the output noise statistics (bilinear low-passes).
+
+    The nearest path uses cv2 ``INTER_NEAREST`` index math — matching
+    the host chain's ``cv2.resize`` (``data/augment.py``) instead of
+    ``jax.image.resize``'s rounding — expressed as a separable 0/1
+    SELECTION-MATRIX contraction: the MXU eats it at 3.1× the speed of
+    the gather forms (8.3 → 2.7 ms on the crop_resize geometry; a
+    static-index fancy-index gather is NO faster than jax.image.resize
+    — tools/probes/probe_da_levers.py), it is exact (one nonzero per
+    output row, pinned == the gather on-device), and the uint8 input is
+    converted at the matmul so no full-resolution f32 is materialized.
+    Returns f32 in the input's value scale on this path.
+
+    ``flip`` (optional bool scalar, nearest path only): horizontal flip
+    folded into the selection matrix — bit-identical to flipping the
+    result, at the cost of a [out,W] select instead of a full-clip
+    pass (see :func:`random_resized_crop`)."""
     t, h, w, c = clip.shape
+    if method == "nearest":
+        wy = jnp.asarray((np.arange(h)[None, :] ==
+                          _cv2_nearest_idx(out_size, h)[:, None])
+                         .astype(np.float32))
+        wx = jnp.asarray((np.arange(w)[None, :] ==
+                          _cv2_nearest_idx(out_size, w)[:, None])
+                         .astype(np.float32))
+        if flip is not None:
+            wx = jnp.where(flip, wx[::-1], wx)
+        return jnp.einsum("oh,thwc,pw->topc", wy,
+                          clip.astype(jnp.float32), wx)
+    if flip is not None:
+        raise ValueError("flip folding is only supported on the nearest "
+                         "(selection-matrix) path")
     return jax.image.resize(clip, (t, out_size, out_size, c), method)
 
 
@@ -345,12 +413,19 @@ def finetune_augment_batch(key: jax.Array, clips: jax.Array, img_dim: int,
 
     def per_sample(key, clip):
         kp, kc, kf, kq, kj = jax.random.split(key, 5)
-        out = random_resized_crop(kc, clip, img_dim)    # f32, 0..255
+        flip = jax.random.bernoulli(kf)   # same draw as random_hflip(kf)
         if crop_p < 1.0:
+            # val: the center-crop fallback is a gather chain, so the
+            # flip stays a literal post-pass over the blended result
+            out = random_resized_crop(kc, clip, img_dim)   # f32, 0..255
             cc = center_crop_resize(clip, 224, img_dim)
             out = jnp.where(jax.random.bernoulli(kp, crop_p), out, cc)
-        out = out / 255.0
-        out = random_hflip(kf, out)
+            out = out / 255.0
+            out = jnp.where(flip, out[:, :, ::-1], out)
+        else:
+            # train: fold the flip into the resample matrix (bit-exact,
+            # saves the full-clip reverse+select pass — see augment_batch)
+            out = random_resized_crop(kc, clip, img_dim, flip=flip) / 255.0
         jit = color_jitter(kj, out, jb, jc, js, jh, per_frame=False)
         out = jnp.where(jax.random.bernoulli(kq, 0.3), jit, out)
         return normalize(out) if normalize_out else out
@@ -388,11 +463,16 @@ def augment_batch(key: jax.Array, clips: jax.Array, img_dim: int,
 
     def per_sample(key, clip):
         kc, kf, kg, kj = jax.random.split(key, 4)
+        # flip rides the resample matrix (bit-identical to flipping the
+        # resized clip; the separate reverse+select pass measured
+        # ~4.5 ms/batch on this chain) — same bernoulli(kf) draw as the
+        # standalone random_hflip
+        flip = jax.random.bernoulli(kf)
         if recipe == "sized_crop":
-            clip = random_resized_crop(kc, clip, img_dim) / 255.0
+            clip = random_resized_crop(kc, clip, img_dim,
+                                       flip=flip) / 255.0
         else:
-            clip = resize_fixed(clip, img_dim).astype(jnp.float32) / 255.0
-        clip = random_hflip(kf, clip)
+            clip = resize_fixed(clip, img_dim, flip=flip) / 255.0
         clip = random_gray(kg, clip, p=gray_p, per_frame=True)
         clip = color_jitter(kj, clip, per_frame=True)
         return normalize(clip) if normalize_out else clip

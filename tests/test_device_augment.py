@@ -31,6 +31,53 @@ def test_normalized_range():
     assert a.min() > -3.0 and a.max() < 3.0
 
 
+def test_color_jitter_matches_sequential_reference():
+    """The production ``color_jitter`` composes brightness/contrast/
+    saturation/hue into one per-frame 3x3 affine; pin it against the
+    literal sequential op order (the reference semantics,
+    utils/augmentation.py ColorJitter) on the same draws."""
+    def sequential(key, clip, b, c, s, h, per_frame):
+        t = clip.shape[0]
+        shape = (t, 1, 1, 1) if per_frame else (1, 1, 1, 1)
+        kb, kc, ks, kh = jax.random.split(key, 4)
+        fb = jax.random.uniform(kb, shape, minval=max(0, 1 - b),
+                                maxval=1 + b)
+        fc = jax.random.uniform(kc, shape, minval=max(0, 1 - c),
+                                maxval=1 + c)
+        fs = jax.random.uniform(ks, shape, minval=max(0, 1 - s),
+                                maxval=1 + s)
+        fh = jax.random.uniform(kh, shape, minval=-h, maxval=h)
+        x = clip * fb
+        lum = (x[..., :1] * 0.299 + x[..., 1:2] * 0.587
+               + x[..., 2:3] * 0.114)
+        mean = jnp.mean(lum, axis=(-3, -2, -1), keepdims=True)
+        x = x * fc + mean * (1 - fc)
+        x = x * fs + lum * (1 - fs)
+        theta = 2.0 * jnp.pi * fh
+        cos, sin = jnp.cos(theta), jnp.sin(theta)
+        one3, sq3 = 1.0 / 3.0, 1.0 / np.sqrt(3.0)
+        r, g, bl = x[..., 0:1], x[..., 1:2], x[..., 2:3]
+        rr = (cos + (1 - cos) * one3) * r \
+            + (one3 * (1 - cos) - sq3 * sin) * g \
+            + (one3 * (1 - cos) + sq3 * sin) * bl
+        gg = (one3 * (1 - cos) + sq3 * sin) * r \
+            + (cos + one3 * (1 - cos)) * g \
+            + (one3 * (1 - cos) - sq3 * sin) * bl
+        bb = (one3 * (1 - cos) - sq3 * sin) * r \
+            + (one3 * (1 - cos) + sq3 * sin) * g \
+            + (cos + one3 * (1 - cos)) * bl
+        return jnp.clip(jnp.concatenate([rr, gg, bb], -1), 0.0, 1.0)
+
+    rng = np.random.default_rng(11)
+    clip = jnp.asarray(rng.random((4, 8, 8, 3), np.float32))
+    for per_frame in (True, False):
+        for key in (jax.random.PRNGKey(0), jax.random.PRNGKey(5)):
+            want = sequential(key, clip, 0.5, 0.5, 0.5, 0.25, per_frame)
+            got = da.color_jitter(key, clip, per_frame=per_frame)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=2e-6)
+
+
 def test_random_gray_is_channel_split():
     clip = jnp.asarray(np.random.default_rng(1).random((4, 8, 8, 3)),
                        jnp.float32)

@@ -47,10 +47,12 @@ def main(net: str, img: int, num_seq: int, pred: int, batch: int) -> None:
 
     def backbone_prefix(n_stages: int):
         def f(p, x):
-            h = L.conv3d(p["stem"]["conv"], x, (1, 2, 2), (0, 3, 3), dtype)
-            h, _ = L.batchnorm(p["stem"]["bn"], None, h, train=True)
-            h = jax.nn.relu(h)
-            h = L.maxpool3d(h, (1, 3, 3), (1, 2, 2), (0, 1, 1))
+            # the PRODUCTION stem path (fused conv→BN→ReLU→pool), not the
+            # naive op sequence — the naive stem measured 65.9 ms fwd+bwd
+            # at 224² where the whole production step is 142.3 ms
+            h, _ = L.fused_stem(p["stem"]["conv"], p["stem"]["bn"], x,
+                                state=None, train=True, dtype=dtype,
+                                axis_name=None)
             for si in range(n_stages):
                 for bi, spec in enumerate(specs[si]):
                     h, _ = resnet2d3d._apply_block(

@@ -79,7 +79,11 @@ def chain(stages: str, dtype=jnp.float32):
 
 def main() -> None:
     rng = np.random.default_rng(1)
-    clips = jnp.asarray(rng.integers(0, 255, WIN, np.uint8))
+    # generate the window ON DEVICE: a 385 MB host->device transfer
+    # hangs intermittently on the tunnelled backend (SKILL.md)
+    clips = jax.jit(lambda k: jax.random.randint(
+        k, WIN, 0, 255, jnp.int32).astype(jnp.uint8))(jax.random.PRNGKey(9))
+    jax.block_until_ready(clips)
     key = jax.random.PRNGKey(0)
     res = {}
 
@@ -120,9 +124,13 @@ def main() -> None:
             params, tx.init(params), jnp.zeros((), jnp.int32)))
         step = pretrain_step.make_pretrain_step(m, t, mesh, tx)
         if dt == np.uint8:
-            xb = jnp.asarray(rng.integers(0, 255, shape, np.uint8))
+            xb = jax.jit(lambda k: jax.random.randint(
+                k, shape, 0, 255, jnp.int32).astype(jnp.uint8))(
+                    jax.random.PRNGKey(7))
         else:
-            xb = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+            xb = jax.jit(lambda k: jax.random.normal(
+                k, shape, jnp.float32))(jax.random.PRNGKey(7))
+        jax.block_until_ready(xb)
         def run(s, x, _step=step):
             st, metrics = _step(s, x, key)   # keep state in the output
             return st.params, metrics        # else XLA DCEs bwd+Adam

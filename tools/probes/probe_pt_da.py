@@ -42,12 +42,16 @@ for name, da, recipe, shape, dtype in [
         return st.params, metrics
 
     fn = scalarize(run)
+    # device-side synthesis: a multi-hundred-MB host->device transfer
+    # hangs intermittently on the tunnelled backend (SKILL.md)
     if dtype == np.uint8:
-        xb = jnp.asarray(np.random.default_rng(1).integers(
-            0, 255, shape, np.uint8))
+        xb = jax.jit(lambda k: jax.random.randint(
+            k, shape, 0, 255, jnp.int32).astype(jnp.uint8))(
+                jax.random.PRNGKey(7))
     else:
-        xb = jnp.asarray(np.random.default_rng(1).normal(
-            size=shape).astype(np.float32))
+        xb = jax.jit(lambda k: jax.random.normal(
+            k, shape, jnp.float32))(jax.random.PRNGKey(7))
+    jax.block_until_ready(xb)
     s = fn(state, xb); float(s)
     t0 = time.perf_counter()
     for _ in range(ITERS):
