@@ -293,8 +293,17 @@ def resize_fixed(clip: jax.Array, out_size: int,
                          .astype(np.float32))
         if flip is not None:
             wx = jnp.where(flip, wx[::-1], wx)
+        # uint8 (and any integer / bf16) values are bf16-exact, so the
+        # DEFAULT TPU matmul precision already reproduces the gather
+        # bit-for-bit on every in-repo caller; general f32 values would
+        # be rounded to bf16 by the MXU, so those take HIGHEST to keep
+        # this path's documented exactness
+        exact_at_default = (jnp.issubdtype(clip.dtype, jnp.integer)
+                            or clip.dtype == jnp.bfloat16)
         return jnp.einsum("oh,thwc,pw->topc", wy,
-                          clip.astype(jnp.float32), wx)
+                          clip.astype(jnp.float32), wx,
+                          precision=(None if exact_at_default
+                                     else jax.lax.Precision.HIGHEST))
     if flip is not None:
         raise ValueError("flip folding is only supported on the nearest "
                          "(selection-matrix) path")

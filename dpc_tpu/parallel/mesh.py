@@ -66,6 +66,28 @@ def shard_key(key: jax.Array, step=None, axis: str = DATA_AXIS) -> jax.Array:
     return key
 
 
+def peer_sample_keys(akey: jax.Array, rows_local: int, shard_clips: bool,
+                     n_model: int) -> jax.Array:
+    """Per-sample augmentation key streams, invariant to the clip split.
+
+    For use INSIDE a step that shards clips over the model axis: the
+    full data group's key set is drawn once (``rows_local × n_model``
+    keys from the 'model'-synced ``akey``) and each peer slices its own
+    ``rows_local`` chunk by ``axis_index`` — so every sample draws the
+    SAME augmentation whether its data group runs on 1 or m peers.
+    This is load-bearing for the ``{d,m} ≡ {d}`` equality pins
+    (``tests/test_train_step.py``, ``tests/test_finetune_mp.py``); all
+    clip-sharding steps must derive their sample keys through here so
+    the layout stays in lockstep with ``batch_sharding``'s row-major
+    ('data', 'model') split."""
+    if not shard_clips:
+        return jax.random.split(akey, rows_local)
+    keys = jax.random.split(akey, rows_local * n_model)
+    im = jax.lax.axis_index(MODEL_AXIS)
+    return jax.lax.dynamic_slice_in_dim(keys, im * rows_local,
+                                        rows_local, 0)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis (batch) sharding.
 

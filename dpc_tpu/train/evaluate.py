@@ -19,6 +19,7 @@ Usage examples:
 from __future__ import annotations
 
 import argparse
+import math
 import os
 import time
 
@@ -285,9 +286,23 @@ def run_test(cfg: ExperimentConfig, params, bn_state, exp_dir: str,
 
     e = cfg.eval
     ds = get_dataset(cfg, "test", unit_test)
-    mesh = meshlib.make_mesh(
-        cfg.train.num_devices, cfg.train.model_parallel,
-        devices=jax.local_devices() if num_shards > 1 else None)
+    if num_shards > 1:
+        # Per-host local mesh (host-local window arrays can't feed a
+        # global mesh).  The test forward shards interchangeable window
+        # ROWS over both axes, so the factorization is free — clamp the
+        # model factor to one that divides THIS host's device count: a
+        # pod-trained global --model_parallel (e.g. 8 across 2×4 hosts)
+        # need not divide the local count, and must not crash the test
+        # phase after training succeeded.
+        local = jax.local_devices()
+        if cfg.train.num_devices:
+            local = local[:cfg.train.num_devices]
+        mesh = meshlib.make_mesh(
+            0, math.gcd(cfg.train.model_parallel, len(local)),
+            devices=local)
+    else:
+        mesh = meshlib.make_mesh(cfg.train.num_devices,
+                                 cfg.train.model_parallel)
     # window rows shard over BOTH axes (finetune_step.
     # make_test_forward_sharded), so round the pooled batch to the full
     # device count

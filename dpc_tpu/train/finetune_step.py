@@ -18,7 +18,8 @@ from jax.sharding import PartitionSpec as P
 from dpc_tpu.core.config import DPCConfig, EvalConfig, dtype_of
 from dpc_tpu.data import device_augment
 from dpc_tpu.models import lc
-from dpc_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, shard_key
+from dpc_tpu.parallel.mesh import (DATA_AXIS, MODEL_AXIS, peer_sample_keys,
+                                   shard_key)
 
 
 def _clip_layout(mesh, batch_size: int):
@@ -47,20 +48,6 @@ def _clip_layout(mesh, batch_size: int):
     reduce_axes = (DATA_AXIS, MODEL_AXIS) if shard_clips else DATA_AXIS
     bn_axis = MODEL_AXIS if shard_clips else None
     return shard_clips, clip_spec, reduce_axes, bn_axis
-
-
-def _peer_sample_keys(akey: jax.Array, rows_local: int, shard_clips: bool,
-                      n_model: int) -> jax.Array:
-    """Per-sample augmentation streams that are invariant to the clip
-    split: one key set per DATA GROUP, sliced by model peer — each sample
-    draws the same augmentation whether the group runs on 1 or m peers
-    (same trick as ``pretrain_step``)."""
-    if not shard_clips:
-        return jax.random.split(akey, rows_local)
-    keys = jax.random.split(akey, rows_local * n_model)
-    im = jax.lax.axis_index(MODEL_AXIS)
-    return jax.lax.dynamic_slice_in_dim(keys, im * rows_local,
-                                        rows_local, 0)
 
 
 class FinetuneState(NamedTuple):
@@ -128,8 +115,8 @@ def make_finetune_step(model_cfg: DPCConfig, eval_cfg: EvalConfig, mesh,
         key = shard_key(key, state.step)
         if eval_cfg.device_augment:
             key, akey = jax.random.split(key)
-            sample_keys = _peer_sample_keys(akey, batch.shape[0],
-                                            shard_clips, n_model)
+            sample_keys = peer_sample_keys(akey, batch.shape[0],
+                                           shard_clips, n_model)
             batch = device_augment.finetune_augment_batch(
                 akey, batch, model_cfg.img_dim, mode="train",
                 normalize_out=not fold, sample_keys=sample_keys)
@@ -183,8 +170,8 @@ def make_finetune_eval_step(model_cfg: DPCConfig, eval_cfg: EvalConfig,
     def device_step(params, bn_state, batch, labels, key):
         if eval_cfg.device_augment:
             key = shard_key(key)
-            sample_keys = _peer_sample_keys(key, batch.shape[0],
-                                            shard_clips, n_model)
+            sample_keys = peer_sample_keys(key, batch.shape[0],
+                                           shard_clips, n_model)
             batch = device_augment.finetune_augment_batch(
                 key, batch, model_cfg.img_dim, mode="val",
                 normalize_out=not fold, sample_keys=sample_keys)

@@ -32,7 +32,8 @@ from dpc_tpu.core.config import DPCConfig, TrainConfig, dtype_of
 from dpc_tpu.data import device_augment
 from dpc_tpu.models import dpc
 from dpc_tpu.ops import nce, nce_pallas, sharded_nce
-from dpc_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, shard_key
+from dpc_tpu.parallel.mesh import (DATA_AXIS, MODEL_AXIS, peer_sample_keys,
+                                   shard_key)
 
 Params = Any
 
@@ -188,14 +189,10 @@ def make_pretrain_step(model_cfg: DPCConfig, train_cfg: TrainConfig,
         key = shard_key(key, state.step)
         if train_cfg.device_augment:
             key, akey = jax.random.split(key)
-            sample_keys = jax.random.split(akey, local_b)
-            if shard_clips:
-                # one key set per data group, sliced by peer: each sample
-                # draws the same augmentation regardless of the split
-                im = jax.lax.axis_index(MODEL_AXIS)
-                lb = local_b // n_model
-                sample_keys = jax.lax.dynamic_slice_in_dim(
-                    sample_keys, im * lb, lb, 0)
+            # one key set per data group, sliced by peer: each sample
+            # draws the same augmentation regardless of the clip split
+            sample_keys = peer_sample_keys(akey, batch.shape[0],
+                                           shard_clips, n_model)
             batch = device_augment.augment_batch(
                 akey, batch, model_cfg.img_dim,
                 recipe=train_cfg.device_augment_recipe,
@@ -265,12 +262,8 @@ def make_eval_step(model_cfg: DPCConfig, train_cfg: TrainConfig, mesh):
     def device_step(params, batch, key):
         if train_cfg.device_augment:
             key = shard_key(key)
-            sample_keys = jax.random.split(key, local_b)
-            if shard_clips:
-                im = jax.lax.axis_index(MODEL_AXIS)
-                lb = local_b // n_model
-                sample_keys = jax.lax.dynamic_slice_in_dim(
-                    sample_keys, im * lb, lb, 0)
+            sample_keys = peer_sample_keys(key, batch.shape[0],
+                                           shard_clips, n_model)
             batch = device_augment.augment_batch(
                 key, batch, model_cfg.img_dim,
                 recipe=train_cfg.device_augment_recipe,

@@ -108,7 +108,13 @@ def ref_eval_module():
     spec = importlib.util.spec_from_file_location(name, f"{REF}/eval/test.py")
     mod = importlib.util.module_from_spec(spec)
     sys.modules[name] = mod
-    spec.loader.exec_module(mod)
+    try:
+        spec.loader.exec_module(mod)
+    except BaseException:
+        # don't cache a half-initialized module: later callers would get
+        # a misleading AttributeError instead of the real import error
+        del sys.modules[name]
+        raise
     return mod
 
 

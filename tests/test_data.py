@@ -527,6 +527,11 @@ class TestProcessLoader:
                         reason="pool scaling needs >=4 idle cores "
                                "(this assumption is recorded as unverified "
                                "in docs/RESULTS.md provisioning tables)")
+    @pytest.mark.skipif(os.getloadavg()[0] > max((os.cpu_count() or 1) - 3,
+                                                 1.0),
+                        reason="host is busy: a wall-clock 2x-scaling "
+                               "assert under core contention measures the "
+                               "contention, not the pool")
     def test_process_pool_scales_full_augment_chain(self):
         """--worker_mode process must parallelise the GIL-holding host
         augment chain: >=1.7x from 1 -> 2 workers (VERDICT r4 #6; 2.0x

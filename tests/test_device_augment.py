@@ -288,6 +288,21 @@ def test_test_preprocess_bitexact_five_crop():
     np.testing.assert_allclose(host, np.asarray(dev)[:, 0], atol=2e-6)
 
 
+def test_resize_fixed_float_input_matches_gather_exactly():
+    # the selection-matrix einsum's exactness contract covers FLOAT
+    # inputs too (the matmul takes HIGHEST precision there — default TPU
+    # precision would round general f32 values to bf16; uint8 callers
+    # keep the default, their 0..255 values are bf16-exact either way)
+    rng = np.random.default_rng(9)
+    clip = rng.random((2, 37, 53, 3), np.float32)
+    for src_clip in (clip, (clip * 255).astype(np.uint8)):
+        out = da.resize_fixed(jnp.asarray(src_clip), 16)
+        idx_y = da._cv2_nearest_idx(16, 37)
+        idx_x = da._cv2_nearest_idx(16, 53)
+        ref = src_clip.astype(np.float32)[:, idx_y][:, :, idx_x]
+        np.testing.assert_array_equal(np.asarray(out), ref)
+
+
 def test_cv2_nearest_idx_matches_cv2():
     # the device NEAREST resample must replicate cv2.INTER_NEAREST's
     # index math exactly for every (src, out) the recipes hit

@@ -177,6 +177,21 @@ def test_two_process_dense_test_matches_single_process(tmp_path):
     np.testing.assert_allclose(results[0]["top1"], top1, rtol=1e-12)
 
 
+def test_two_process_dense_test_pod_model_parallel(tmp_path):
+    """A pod-trained global ``--model_parallel`` need not divide one
+    host's local device count (here 8 across 2 hosts × 4 devices).  The
+    dense test re-meshes per host, so it must clamp the model factor to
+    the local count (window rows are interchangeable across axes) rather
+    than crash after training succeeded — and still reproduce the
+    single-process numbers exactly."""
+    results = _two_process_dense_test(tmp_path, ["--model_parallel", "8"])
+    assert results[0] == results[1], results
+
+    loss, top1 = _single_process_dense_test(tmp_path)
+    np.testing.assert_allclose(results[0]["loss"], loss, rtol=1e-5)
+    np.testing.assert_allclose(results[0]["top1"], top1, rtol=1e-12)
+
+
 def test_two_process_dense_test_device_augment_matches_host_chain(tmp_path):
     """--multihost × --device_augment composition: each process feeds its
     video shard as uint8 ROI windows, the deterministic test recipe runs
