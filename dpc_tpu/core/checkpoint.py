@@ -25,11 +25,28 @@ import orbax.checkpoint as ocp
 from dpc_tpu.utils import torch_compat as tc
 
 
+def is_torch_file(path: str) -> bool:
+    """One definition of "is this a torch checkpoint file": every caller
+    (``load_pretrained``, the drivers' ``--pretrain``/``--test``
+    branches) must agree, or a suffix like ``.pt`` ends up torch-loaded
+    on one path and Orbax-run-dir-probed on another."""
+    return path.endswith((".pth", ".tar", ".pt"))  # .pth.tar ⊂ .tar
+
+
 def make_manager(directory: str, max_to_keep: int = 1,
-                 keep_best: bool = True) -> ocp.CheckpointManager:
-    """Rolling-latest (+ best) checkpoint manager."""
+                 keep_best: bool = True, *,
+                 read_only: bool = False) -> ocp.CheckpointManager:
+    """Rolling-latest (+ best) checkpoint manager.
+
+    ``read_only``: restore-only callers (``load_pretrained``, the test
+    driver) must not require write access to the source — no mkdir, and
+    a clear error instead of silently creating junk dirs on a typo."""
     directory = os.path.abspath(directory)
-    os.makedirs(directory, exist_ok=True)
+    if read_only:
+        if not os.path.isdir(directory):
+            raise FileNotFoundError(f"no checkpoint directory {directory}")
+    else:
+        os.makedirs(directory, exist_ok=True)
     kwargs = dict(max_to_keep=max_to_keep,
                   keep_checkpoints_without_metrics=True)
     if keep_best:
@@ -98,6 +115,24 @@ def mid_epoch_step_id(epoch: int, batch_idx: int, offset: int = 0) -> int:
     return offset + batch_idx + epoch * 100000
 
 
+def save_step_unless_duplicate(step_mgr: ocp.CheckpointManager, sid: int,
+                               payload_fn, block: bool = True) -> None:
+    """Save a mid-epoch checkpoint unless ``sid`` is already the latest.
+
+    The subtle part both drivers must agree on: a duplicate request
+    (val-time preemption re-requesting the train position, or the
+    epoch-boundary guard right after a periodic save) is SKIPPED — but
+    the skipped save may have been handed to Orbax's ASYNC writer, and a
+    blocking request precedes a SystemExit, so the bytes must be flushed
+    to disk before the process dies.  ``payload_fn`` defers the
+    ``jax.device_get`` to the non-duplicate case."""
+    if step_mgr.latest_step() == sid:
+        if block:
+            step_mgr.wait_until_finished()
+        return
+    save(step_mgr, sid, payload_fn(), block=block)
+
+
 def resume_mid_epoch(mgr: ocp.CheckpointManager, template: Any,
                      start_epoch: int) -> tuple[Any, int, int]:
     """Shared mid-epoch resume gate: the newest step-level checkpoint is
@@ -155,13 +190,13 @@ def load_pretrained(path: str, params: Any, key_map_fn,
     """Load pretrained weights from either a reference ``.pth.tar`` torch
     checkpoint or one of our Orbax run directories (``--pretrain`` behaviour,
     ``dpc/main.py:104-112`` / ``eval/test.py:149-158``)."""
-    if path.endswith((".pth", ".pth.tar", ".tar", ".pt")):
+    if is_torch_file(path):
         params, _ = tc.load_reference_checkpoint(
             path, params, key_map_fn(params), verbose=verbose)
         return params
     if os.path.isdir(os.path.join(path, "model")):  # run dir → model subdir
         path = os.path.join(path, "model")
-    mgr = make_manager(path)
+    mgr = make_manager(path, read_only=True)
     step = mgr.latest_step()
     if step is None:
         raise FileNotFoundError(f"no checkpoint under {path}")

@@ -194,6 +194,8 @@ class EvalConfig:
     # stem directly, measured +5.8%; the stochastic finetune/val recipes
     # measured −3.3% — probe_fold.py); 'on'/'off' force it
     fold_normalize: str = "auto"
+    # on resume: fresh optimizer, keep params (eval/test.py:141)
+    reset_lr: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

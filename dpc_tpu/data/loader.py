@@ -131,7 +131,10 @@ class ClipLoader:
         order = self._order()
         n = len(order)
         nb = len(self)
-        out_q: queue.Queue = queue.Queue(maxsize=self.prefetch_batches)
+        # floor at 1: Queue(maxsize=0) means UNBOUNDED in the stdlib —
+        # "--prefetch 0" would decode the whole epoch into host RAM
+        out_q: queue.Queue = queue.Queue(
+            maxsize=max(1, self.prefetch_batches))
         stop = threading.Event()
 
         def load_one(pos: int):

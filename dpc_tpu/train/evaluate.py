@@ -184,7 +184,8 @@ def config_from_args(args) -> ExperimentConfig:
                         backbone_lr_scale=args.backbone_lr_scale,
                         five_crop=args.five_crop, remat=args.remat,
                         device_augment=args.device_augment,
-                        fold_normalize=args.fold_normalize),
+                        fold_normalize=args.fold_normalize,
+                        reset_lr=args.reset_lr),
     )
 
 
@@ -303,6 +304,13 @@ def run_test(cfg: ExperimentConfig, params, bn_state, exp_dir: str,
     else:
         mesh = meshlib.make_mesh(cfg.train.num_devices,
                                  cfg.train.model_parallel)
+    # params/bn_state arrive as host numpy after an Orbax/torch restore;
+    # place them once — otherwise EVERY pooled-window flush re-ships the
+    # whole model through the jit boundary (tens of MB per forward over
+    # the remote tunnel, dwarfing the ~40 ms/fetch the one-deep pipeline
+    # below exists to hide)
+    params, bn_state = jax.device_put((params, bn_state),
+                                      meshlib.replicated(mesh))
     # window rows shard over BOTH axes (finetune_step.
     # make_test_forward_sharded), so round the pooled batch to the full
     # device count
@@ -504,14 +512,15 @@ def main(argv=None) -> None:
     # --test: load and evaluate densely, then exit (eval/test.py:106-129)
     if args.test:
         if args.test != "random":
-            if args.test.endswith((".pth", ".pth.tar", ".tar")):
+            if ckpt.is_torch_file(args.test):
                 params, _ = torch_compat.load_reference_checkpoint(
                     args.test, params, torch_compat.lc_key_map(params))
                 bn_state, _ = torch_compat.load_reference_checkpoint(
                     args.test, bn_state,
                     torch_compat.lc_state_key_map(bn_state), verbose=False)
             else:
-                mgr = ckpt.make_manager(os.path.join(args.test, "model"))
+                mgr = ckpt.make_manager(os.path.join(args.test, "model"),
+                                        read_only=True)
                 step = mgr.best_step() or mgr.latest_step()
                 if step is None:
                     raise SystemExit(f"no checkpoint under {args.test}")
@@ -533,9 +542,14 @@ def main(argv=None) -> None:
     if args.pretrain:
         # a DPC pretrain checkpoint transfers backbone+agg into LC
         # (neq_load_customized workflow, eval/test.py:149-158)
+        # a torch FILE here is a reference DPC pretrain checkpoint (its
+        # trunk keys need dpc_key_map); an Orbax run dir goes through
+        # transfer_load's name matching.  Must use the same file
+        # detection as load_pretrained itself — a '.pt' file picked the
+        # LC map before, silently transferring ~0 tensors.
         params = ckpt.load_pretrained(args.pretrain, params,
                                       torch_compat.dpc_key_map
-                                      if args.pretrain.endswith(".tar")
+                                      if ckpt.is_torch_file(args.pretrain)
                                       else torch_compat.lc_key_map)
 
     tx = optim.finetune_optimizer(params, e.lr, e.wd, e.train_what,
@@ -550,12 +564,23 @@ def main(argv=None) -> None:
                     "best_acc": 0.0}
         epoch0, payload = ckpt.restore_latest(mgr, template)
         if epoch0 is not None:
-            state = finetune_step.FinetuneState(
-                payload["params"], payload["bn_state"],
-                payload["opt_state"], payload["step"])
+            if e.reset_lr:  # fresh optimizer, keep params+BN
+                # (reference: skip loading the old optimizer,
+                # eval/test.py:141)
+                state = finetune_step.FinetuneState(
+                    payload["params"], payload["bn_state"],
+                    tx.init(payload["params"]), jnp.zeros((), jnp.int32))
+            else:
+                state = finetune_step.FinetuneState(
+                    payload["params"], payload["bn_state"],
+                    payload["opt_state"], payload["step"])
             best_acc = float(payload["best_acc"])
             start_epoch = epoch0
             print(f"resumed epoch {epoch0} (best_acc {best_acc:.4f})")
+        else:
+            # train-from-scratch INTO the resume dir, like the reference
+            # (eval/test.py:147) — but never silently
+            print(f"[Warning] no checkpoint found at '{args.resume}'")
 
     # trainability audit (the reference's requires_grad printout,
     # eval/test.py:86-89)
@@ -584,9 +609,14 @@ def main(argv=None) -> None:
         payload, start_epoch, start_batch = ckpt.resume_mid_epoch(
             step_mgr, template, start_epoch)
         if payload is not None:
+            # --reset_lr wins here too: fresh optimizer, restored
+            # params/BN (the epoch-level branch above already honors it)
+            opt = (tx.init(payload["params"]) if e.reset_lr
+                   else payload["opt_state"])
+            step0 = (jnp.zeros((), jnp.int32) if e.reset_lr
+                     else payload["step"])
             state = finetune_step.FinetuneState(
-                payload["params"], payload["bn_state"],
-                payload["opt_state"], payload["step"])
+                payload["params"], payload["bn_state"], opt, step0)
             best_acc = float(payload["best_acc"])
             print(f"resumed mid-epoch: epoch {start_epoch} "
                   f"batch {start_batch}")
@@ -654,105 +684,109 @@ def main(argv=None) -> None:
           f"val videos: {len(val_loader.dataset)}")
 
     guard = PreemptionGuard().install() if step_mgr else None
-    for epoch in range(start_epoch, e.epochs):
-        train_loader.set_epoch(epoch)
-        val_loader.set_epoch(epoch)
-        lr_scale = optim.multistep_restart_lr(
-            epoch, 1.0, e.lr_milestones, e.lr_gamma, e.lr_repeat)
-        ekey = jax.random.fold_in(jax.random.PRNGKey(cfg.train.seed), epoch)
-        meters, vmeters = MetricBundle(), MetricBundle()
+    try:
+        for epoch in range(start_epoch, e.epochs):
+            train_loader.set_epoch(epoch)
+            val_loader.set_epoch(epoch)
+            lr_scale = optim.multistep_restart_lr(
+                epoch, 1.0, e.lr_milestones, e.lr_gamma, e.lr_repeat)
+            ekey = jax.random.fold_in(jax.random.PRNGKey(cfg.train.seed), epoch)
+            meters, vmeters = MetricBundle(), MetricBundle()
 
-        # denormalised input grid once per run, captured from the batch
-        # already in hand (eval/test.py:232-238) — a separate
-        # `next(iter(loader))` would spin up a throwaway prefetching
-        # iterator and decode prefetch_batches for one image
-        def log_input_grid(batch):
-            clips = batch[0]
-            frames = clips.reshape(-1, *clips.shape[-3:])[:16]
-            if frames.dtype == np.uint8:
-                # --device_augment feeds raw uint8 pre-crop windows;
-                # denormalize() would saturate them to white
-                grid = frames.astype(np.float32) / 255.0
-            else:
-                grid = denormalize(frames)
-            writer_train.add_images("input_seq", grid, epoch,
-                                    dataformats="NHWC")
+            # denormalised input grid once per run, captured from the batch
+            # already in hand (eval/test.py:232-238) — a separate
+            # `next(iter(loader))` would spin up a throwaway prefetching
+            # iterator and decode prefetch_batches for one image
+            def log_input_grid(batch):
+                clips = batch[0]
+                frames = clips.reshape(-1, *clips.shape[-3:])[:16]
+                if frames.dtype == np.uint8:
+                    # --device_augment feeds raw uint8 pre-crop windows;
+                    # denormalize() would saturate them to white
+                    grid = frames.astype(np.float32) / 255.0
+                else:
+                    grid = denormalize(frames)
+                writer_train.add_images("input_seq", grid, epoch,
+                                        dataformats="NHWC")
 
-        grid_fn = (log_input_grid if writer_train is not None
-                   and epoch == start_epoch else None)
+            grid_fn = (log_input_grid if writer_train is not None
+                       and epoch == start_epoch else None)
 
-        def dispatch_train(idx, batch):
-            nonlocal state
-            clips, labels = batch
-            xb = meshlib.shard_batch(mesh, jnp.asarray(clips))
-            yb = meshlib.shard_batch(mesh, jnp.asarray(labels))
-            state, metrics = step_fn(state, xb, yb, ekey,
-                                     jnp.float32(lr_scale))
-            return metrics
+            def dispatch_train(idx, batch):
+                nonlocal state
+                clips, labels = batch
+                xb = meshlib.shard_batch(mesh, jnp.asarray(clips))
+                yb = meshlib.shard_batch(mesh, jnp.asarray(labels))
+                state, metrics = step_fn(state, xb, yb, ekey,
+                                         jnp.float32(lr_scale))
+                return metrics
 
-        def save_mid_epoch(ep, batch_idx, block=True):
-            sid = ckpt.mid_epoch_step_id(ep, batch_idx)
-            if step_mgr.latest_step() == sid:
-                # already saved, possibly async — a blocking request
-                # precedes a SystemExit, so flush before returning (see
-                # pretrain.save_mid_epoch)
-                if block:
-                    step_mgr.wait_until_finished()
-                return
+            def save_mid_epoch(ep, batch_idx, block=True):
+                def payload():
+                    host = jax.device_get(state)
+                    return {"params": host.params, "bn_state": host.state,
+                            "opt_state": host.opt_state, "step": host.step,
+                            "epoch": ep, "batch_idx": batch_idx,
+                            "best_acc": best_acc}
+                ckpt.save_step_unless_duplicate(
+                    step_mgr, ckpt.mid_epoch_step_id(ep, batch_idx),
+                    payload, block=block)
+
+            # a preemption during VAL must still persist the finished train
+            # epoch: save at the end-of-train-epoch position, so resume skips
+            # the (already-run) train batches and lands in val + epoch save
+            train_done = (min(len(train_loader), args.steps_per_epoch)
+                          if args.steps_per_epoch else len(train_loader))
+
+            def save_from_val(ep, _val_idx, block=True):
+                save_mid_epoch(ep, train_done - 1, block=block)
+
+            loop.run_epoch(
+                dispatch_train, train_loader, meters, mode="train",
+                print_freq=cfg.train.print_freq, epoch=epoch,
+                max_steps=args.steps_per_epoch,
+                start_batch=start_batch if epoch == start_epoch else 0,
+                step_save_fn=save_mid_epoch if step_mgr else None,
+                save_every_steps=args.save_every_steps, guard=guard,
+                first_batch_fn=grid_fn)
+
+            def dispatch_val(idx, batch):
+                clips, labels = batch
+                return eval_fn(state.params, state.state,
+                               meshlib.shard_batch(mesh, jnp.asarray(clips)),
+                               meshlib.shard_batch(mesh, jnp.asarray(labels)),
+                               jax.random.fold_in(ekey, idx))
+
+            loop.run_epoch(dispatch_val, val_loader, vmeters, mode="val",
+                           print_freq=cfg.train.print_freq, epoch=epoch,
+                           max_steps=args.steps_per_epoch, train=False,
+                           step_save_fn=save_from_val if step_mgr else None,
+                           guard=guard)
+            tr, va = meters.averages(), vmeters.averages()
+            print(f"epoch {epoch}: train top1 {tr.get('top1', 0):.4f} | "
+                  f"val top1 {va.get('top1', 0):.4f}")
+            if writer_train is not None:
+                for k, v in tr.items():
+                    writer_train.add_scalar(f"global/{k}", v, epoch)
+                for k, v in va.items():
+                    writer_val.add_scalar(f"global/{k}", v, epoch)
+                writer_train.add_scalar("lr/scale", lr_scale, epoch)
+            val_acc = va.get("top1", 0.0)
+            best_acc = max(best_acc, val_acc)
             host = jax.device_get(state)
-            ckpt.save(step_mgr, sid,
+            ckpt.save(mgr, epoch + 1,
                       {"params": host.params, "bn_state": host.state,
                        "opt_state": host.opt_state, "step": host.step,
-                       "epoch": ep, "batch_idx": batch_idx,
-                       "best_acc": best_acc}, block=block)
-
-        # a preemption during VAL must still persist the finished train
-        # epoch: save at the end-of-train-epoch position, so resume skips
-        # the (already-run) train batches and lands in val + epoch save
-        train_done = (min(len(train_loader), args.steps_per_epoch)
-                      if args.steps_per_epoch else len(train_loader))
-
-        def save_from_val(ep, _val_idx, block=True):
-            save_mid_epoch(ep, train_done - 1, block=block)
-
-        loop.run_epoch(
-            dispatch_train, train_loader, meters, mode="train",
-            print_freq=cfg.train.print_freq, epoch=epoch,
-            max_steps=args.steps_per_epoch,
-            start_batch=start_batch if epoch == start_epoch else 0,
-            step_save_fn=save_mid_epoch if step_mgr else None,
-            save_every_steps=args.save_every_steps, guard=guard,
-            first_batch_fn=grid_fn)
-
-        def dispatch_val(idx, batch):
-            clips, labels = batch
-            return eval_fn(state.params, state.state,
-                           meshlib.shard_batch(mesh, jnp.asarray(clips)),
-                           meshlib.shard_batch(mesh, jnp.asarray(labels)),
-                           jax.random.fold_in(ekey, idx))
-
-        loop.run_epoch(dispatch_val, val_loader, vmeters, mode="val",
-                       print_freq=cfg.train.print_freq, epoch=epoch,
-                       max_steps=args.steps_per_epoch, train=False,
-                       step_save_fn=save_from_val if step_mgr else None,
-                       guard=guard)
-        tr, va = meters.averages(), vmeters.averages()
-        print(f"epoch {epoch}: train top1 {tr.get('top1', 0):.4f} | "
-              f"val top1 {va.get('top1', 0):.4f}")
-        if writer_train is not None:
-            for k, v in tr.items():
-                writer_train.add_scalar(f"global/{k}", v, epoch)
-            for k, v in va.items():
-                writer_val.add_scalar(f"global/{k}", v, epoch)
-            writer_train.add_scalar("lr/scale", lr_scale, epoch)
-        val_acc = va.get("top1", 0.0)
-        best_acc = max(best_acc, val_acc)
-        host = jax.device_get(state)
-        ckpt.save(mgr, epoch + 1,
-                  {"params": host.params, "bn_state": host.state,
-                   "opt_state": host.opt_state, "step": host.step,
-                   "best_acc": best_acc},
-                  metrics={"val_acc": val_acc})
+                       "best_acc": best_acc},
+                      metrics={"val_acc": val_acc})
+    finally:
+        # TB event files buffer (default flush interval ~2 min); a
+        # preemption SystemExit from run_epoch must not drop the run's
+        # last scalars -- they are the forensic record of what the run
+        # was doing when the scheduler killed it
+        for w in (writer_train, writer_val):
+            if w is not None:
+                w.flush()
     if guard is not None:
         guard.uninstall()  # post-training code is interruptible again
     if step_mgr is not None:

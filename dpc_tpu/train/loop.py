@@ -107,12 +107,14 @@ def run_epoch(dispatch, loader, meters, *, mode: str = "train",
             if print_fn is not None:
                 print_fn(p_idx, metrics)
 
+    last_idx = start_batch - 1     # last DISPATCHED batch index
     for idx, batch in enumerate(it, start=start_batch):
         if max_steps and idx >= max_steps:
             break
         if first_batch_fn is not None:
             first_batch_fn(batch)
             first_batch_fn = None
+        last_idx = idx
         metrics = dispatch(idx, batch)
         # Start the device->host copy NOW so it overlaps this step's
         # compute; drain()'s float() one iteration later then finds the
@@ -156,6 +158,10 @@ def run_epoch(dispatch, loader, meters, *, mode: str = "train",
     # boundary instead, checkpointing the completed-steps position
     if guard is not None and guard.requested and steps > 0:
         if step_save_fn is not None:
-            step_save_fn(epoch, idx, block=True)
+            # last_idx, not the loop variable: a --steps_per_epoch break
+            # leaves idx at the batch that was never dispatched, and the
+            # off-by-one id would dodge the drivers' duplicate-save
+            # dedupe (resume position is the same either way)
+            step_save_fn(epoch, last_idx, block=True)
         raise SystemExit("[preemption] checkpointed and exiting")
     return steps

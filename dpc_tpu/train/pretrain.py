@@ -282,7 +282,9 @@ def main(argv=None) -> None:
     shard_id, num_shards = (meshlib.init_multihost() if args.multihost
                             else (0, 1))
     mesh = meshlib.make_mesh(t.num_devices, t.model_parallel)
-    n_dev = mesh.shape["data"]
+    # clips shard over data AND model (pretrain_step._clip_layout), so
+    # precheck the full device count — same depth evaluate.py rejects at
+    n_dev = mesh.shape["data"] * mesh.shape.get("model", 1)
     print(f"devices: {dict(mesh.shape)} × {jax.devices()[0].platform}; "
           f"negatives={t.negatives}; dtype={m.compute_dtype}")
     if t.batch_size % n_dev:
@@ -330,6 +332,10 @@ def main(argv=None) -> None:
             iteration = int(payload["iteration"])
             start_epoch = epoch0
             print(f"resumed epoch {epoch0} (best_acc {best_acc:.4f})")
+        else:
+            # train-from-scratch INTO the resume dir, like the reference
+            # (dpc/main.py:102) — but never silently
+            print(f"[Warning] no checkpoint found at '{args.resume}'")
 
     # mid-epoch (step-level) checkpoints: preemption recovery beyond the
     # reference's epoch granularity (SURVEY §5 "failure detection")
@@ -345,8 +351,13 @@ def main(argv=None) -> None:
         payload, start_epoch, start_batch = ckpt.resume_mid_epoch(
             step_mgr, template, start_epoch)
         if payload is not None:
-            state = pretrain_step.TrainState(
-                payload["params"], payload["opt_state"], payload["step"])
+            # --reset_lr wins here too: fresh optimizer, restored params
+            # (the epoch-level branch above already honors it)
+            opt = (tx.init(payload["params"]) if t.reset_lr
+                   else payload["opt_state"])
+            step0 = (jnp.zeros((), jnp.int32) if t.reset_lr
+                     else payload["step"])
+            state = pretrain_step.TrainState(payload["params"], opt, step0)
             best_acc = float(payload["best_acc"])
             iteration = int(payload["iteration"])
             print(f"resumed mid-epoch: epoch {start_epoch} "
@@ -412,95 +423,99 @@ def main(argv=None) -> None:
         print(f"tensorboard disabled: {e}")
 
     guard = PreemptionGuard().install() if step_mgr else None
-    for epoch in range(start_epoch, t.epochs):
-        train_loader.set_epoch(epoch)
-        val_loader.set_epoch(epoch)
-        ekey = jax.random.fold_in(jax.random.PRNGKey(t.seed), epoch)
+    try:
+        for epoch in range(start_epoch, t.epochs):
+            train_loader.set_epoch(epoch)
+            val_loader.set_epoch(epoch)
+            ekey = jax.random.fold_in(jax.random.PRNGKey(t.seed), epoch)
 
-        # log an input grid once per run (dpc/main.py:200-206), captured
-        # from the first batch already in hand — a separate
-        # next(iter(loader)) would spin up a throwaway prefetching
-        # iterator and decode prefetch_batches of clips for one image
-        def log_input_grid(sample):
-            frames = sample[0].reshape(-1, *sample.shape[-3:])[:16]
-            if frames.dtype == np.uint8:
-                # --device_augment feeds raw uint8 pre-crop windows;
-                # denormalize() would saturate them to white
-                grid = frames.astype(np.float32) / 255.0
-            else:
-                grid = denormalize(frames)
-            writer_train.add_images("input_seq", grid, epoch,
-                                    dataformats="NHWC")
+            # log an input grid once per run (dpc/main.py:200-206), captured
+            # from the first batch already in hand — a separate
+            # next(iter(loader)) would spin up a throwaway prefetching
+            # iterator and decode prefetch_batches of clips for one image
+            def log_input_grid(sample):
+                frames = sample[0].reshape(-1, *sample.shape[-3:])[:16]
+                if frames.dtype == np.uint8:
+                    # --device_augment feeds raw uint8 pre-crop windows;
+                    # denormalize() would saturate them to white
+                    grid = frames.astype(np.float32) / 255.0
+                else:
+                    grid = denormalize(frames)
+                writer_train.add_images("input_seq", grid, epoch,
+                                        dataformats="NHWC")
 
-        grid_fn = (log_input_grid if writer_train is not None
-                   and epoch == start_epoch else None)
+            grid_fn = (log_input_grid if writer_train is not None
+                       and epoch == start_epoch else None)
 
-        from dpc_tpu.utils.profiling import trace
+            from dpc_tpu.utils.profiling import trace
 
-        def save_mid_epoch(st, ep, batch_idx, live_iteration, block=True):
-            sid = ckpt.mid_epoch_step_id(ep, batch_idx,
-                                         offset=live_iteration)
-            if step_mgr.latest_step() == sid:
-                # already saved (val-time preemption re-requesting the
-                # train position, or the epoch-boundary guard check right
-                # after a periodic save) — but that save may have been
-                # ASYNC, and a blocking request precedes a SystemExit:
-                # the bytes must be on disk before the process dies
-                if block:
-                    step_mgr.wait_until_finished()
-                return
-            host = jax.device_get(st)
-            ckpt.save(step_mgr, sid,
-                      {"params": host.params, "opt_state": host.opt_state,
-                       "step": host.step, "epoch": ep,
-                       "batch_idx": batch_idx, "best_acc": best_acc,
-                       "iteration": live_iteration}, block=block)
+            def save_mid_epoch(st, ep, batch_idx, live_iteration, block=True):
+                def payload():
+                    host = jax.device_get(st)
+                    return {"params": host.params,
+                            "opt_state": host.opt_state,
+                            "step": host.step, "epoch": ep,
+                            "batch_idx": batch_idx, "best_acc": best_acc,
+                            "iteration": live_iteration}
+                ckpt.save_step_unless_duplicate(
+                    step_mgr,
+                    ckpt.mid_epoch_step_id(ep, batch_idx,
+                                           offset=live_iteration),
+                    payload, block=block)
 
-        # a preemption during VAL must still persist the finished train
-        # epoch: save at the end-of-train-epoch position, so resume skips
-        # the (already-run) train batches and lands in val + epoch save
-        train_done = (min(len(train_loader), args.steps_per_epoch)
-                      if args.steps_per_epoch else len(train_loader))
+            # a preemption during VAL must still persist the finished train
+            # epoch: save at the end-of-train-epoch position, so resume skips
+            # the (already-run) train batches and lands in val + epoch save
+            train_done = (min(len(train_loader), args.steps_per_epoch)
+                          if args.steps_per_epoch else len(train_loader))
 
-        def save_from_val(st, ep, _val_idx, live_iteration, block=True):
-            save_mid_epoch(st, ep, train_done - 1, live_iteration,
-                           block=block)
+            def save_from_val(st, ep, _val_idx, live_iteration, block=True):
+                save_mid_epoch(st, ep, train_done - 1, live_iteration,
+                               block=block)
 
-        with trace(args.profile if epoch == start_epoch else None):
-            state, meters, iteration = run_epoch(
-                step_fn, state, train_loader, mesh, ekey, train=True,
-                print_freq=t.print_freq, epoch=epoch, writer=writer_train,
-                iteration=iteration, max_steps=args.steps_per_epoch,
-                start_batch=start_batch if epoch == start_epoch else 0,
-                step_save_fn=save_mid_epoch if step_mgr else None,
-                save_every_steps=args.save_every_steps, guard=guard,
-                first_batch_fn=grid_fn)
-        _, vmeters, _ = run_epoch(
-            step_fn, state, val_loader, mesh, ekey, train=False,
-            eval_fn=eval_fn, params_for_eval=state.params,
-            print_freq=t.print_freq, epoch=epoch, iteration=iteration,
-            max_steps=args.steps_per_epoch,
-            step_save_fn=save_from_val if step_mgr else None, guard=guard)
+            with trace(args.profile if epoch == start_epoch else None):
+                state, meters, iteration = run_epoch(
+                    step_fn, state, train_loader, mesh, ekey, train=True,
+                    print_freq=t.print_freq, epoch=epoch, writer=writer_train,
+                    iteration=iteration, max_steps=args.steps_per_epoch,
+                    start_batch=start_batch if epoch == start_epoch else 0,
+                    step_save_fn=save_mid_epoch if step_mgr else None,
+                    save_every_steps=args.save_every_steps, guard=guard,
+                    first_batch_fn=grid_fn)
+            _, vmeters, _ = run_epoch(
+                step_fn, state, val_loader, mesh, ekey, train=False,
+                eval_fn=eval_fn, params_for_eval=state.params,
+                print_freq=t.print_freq, epoch=epoch, iteration=iteration,
+                max_steps=args.steps_per_epoch,
+                step_save_fn=save_from_val if step_mgr else None, guard=guard)
 
-        tr, va = meters.local_averages(), vmeters.local_averages()
-        print(f"epoch {epoch}: train loss {tr.get('loss', 0):.4f} "
-              f"top1 {tr.get('top1', 0):.4f} | val loss "
-              f"{va.get('loss', 0):.4f} top1 {va.get('top1', 0):.4f}")
-        if writer_train is not None:
-            for k, v in tr.items():
-                writer_train.add_scalar(f"global/{k}", v, epoch)
-            for k, v in va.items():
-                writer_val.add_scalar(f"global/{k}", v, epoch)
+            tr, va = meters.local_averages(), vmeters.local_averages()
+            print(f"epoch {epoch}: train loss {tr.get('loss', 0):.4f} "
+                  f"top1 {tr.get('top1', 0):.4f} | val loss "
+                  f"{va.get('loss', 0):.4f} top1 {va.get('top1', 0):.4f}")
+            if writer_train is not None:
+                for k, v in tr.items():
+                    writer_train.add_scalar(f"global/{k}", v, epoch)
+                for k, v in va.items():
+                    writer_val.add_scalar(f"global/{k}", v, epoch)
 
-        val_acc = va.get("top1", 0.0)
-        best_acc = max(best_acc, val_acc)
-        host_state = jax.device_get(state)
-        ckpt.save(mgr, epoch + 1,
-                  {"params": host_state.params,
-                   "opt_state": host_state.opt_state,
-                   "step": host_state.step,
-                   "best_acc": best_acc, "iteration": iteration},
-                  metrics={"val_acc": val_acc})
+            val_acc = va.get("top1", 0.0)
+            best_acc = max(best_acc, val_acc)
+            host_state = jax.device_get(state)
+            ckpt.save(mgr, epoch + 1,
+                      {"params": host_state.params,
+                       "opt_state": host_state.opt_state,
+                       "step": host_state.step,
+                       "best_acc": best_acc, "iteration": iteration},
+                      metrics={"val_acc": val_acc})
+    finally:
+        # TB event files buffer (default flush interval ~2 min); a
+        # preemption SystemExit from run_epoch must not drop the run's
+        # last scalars -- they are the forensic record of what the run
+        # was doing when the scheduler killed it
+        for w in (writer_train, writer_val):
+            if w is not None:
+                w.flush()
     if guard is not None:
         guard.uninstall()  # post-training code is interruptible again
     if step_mgr is not None:

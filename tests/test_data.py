@@ -188,6 +188,31 @@ class TestLoader:
         c = next(iter(loader))
         assert not np.array_equal(a, c)
 
+    def test_prefetch_zero_stays_bounded(self):
+        # Queue(maxsize=0) means UNBOUNDED in the stdlib: --prefetch 0
+        # must floor to 1, not decode the whole epoch into host RAM
+        import time
+
+        ds = self._ds(32)
+        calls = []
+        orig = ds.sample
+
+        def counting_sample(i, rng):
+            calls.append(i)
+            return orig(i, rng)
+
+        ds.sample = counting_sample
+        loader = ClipLoader(ds, batch_size=2, num_workers=2, seed=1,
+                            prefetch_batches=0)
+        it = iter(loader)
+        batch = next(it)
+        assert batch.shape[0] == 2
+        time.sleep(0.5)  # give an unbounded producer time to run away
+        # consumed 1 batch + queue(1) + up to 2 in-flight workers + the
+        # assembling batch: far below the 32 samples an unbounded queue
+        # would have decoded by now
+        assert len(calls) <= 12, len(calls)
+
     def test_worker_error_propagates(self):
         class Bad:
             def __len__(self):

@@ -169,6 +169,13 @@ def test_finetune_resume(pretrain_dir, tmp_path, capsys):
     assert "resumed epoch 1" in out
     assert "Finetune from ep 1 to ep 2 finished" in out
 
+    # --reset_lr on resume: fresh optimizer, restored params/BN
+    # (reference eval/test.py:141) — was parsed-but-ignored once
+    evaluate.main(args + ["--epochs", "3", "--resume", run, "--reset_lr"])
+    out = capsys.readouterr().out
+    assert "resumed epoch 2" in out
+    assert "Finetune from ep 2 to ep 3 finished" in out
+
 
 def test_dense_test_pooled_matches_sequential(tmp_path):
     """run_test pools windows across videos into mesh-sharded batches; its
