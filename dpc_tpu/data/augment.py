@@ -486,10 +486,23 @@ class RandomRotation:
         if self.consistent:
             deg = float(rng.integers(-self.degree, self.degree))
             return np.stack([self._rotate_expand(f, deg) for f in clip])
-        return np.stack([
-            self._rotate_expand(f, float(rng.integers(-self.degree,
-                                                      self.degree)))
-            for f in clip])
+        # per-frame degrees expand to DIFFERENT canvas sizes (the
+        # reference returns a ragged list of PIL images,
+        # utils/augmentation.py:364); an array pipeline needs one shape,
+        # so centre each expanded frame on the common max canvas
+        # (PARITY.md #16 — the op is unused by every recipe)
+        frames = [self._rotate_expand(f, float(rng.integers(-self.degree,
+                                                            self.degree)))
+                  for f in clip]
+        hm = max(f.shape[0] for f in frames)
+        wm = max(f.shape[1] for f in frames)
+        out = np.zeros((len(frames), hm, wm) + clip.shape[3:],
+                       dtype=clip.dtype)
+        for i, f in enumerate(frames):
+            y0 = (hm - f.shape[0]) // 2
+            x0 = (wm - f.shape[1]) // 2
+            out[i, y0:y0 + f.shape[0], x0:x0 + f.shape[1]] = f
+        return out
 
 
 class Normalize:

@@ -324,7 +324,8 @@ def make_dataset(dataset: str, data_root: str, mode: str,
                  val_subsample: float = 0.3,
                  decode_size: Optional[tuple[int, int]] = None,
                  keep_short_test: bool = False,
-                 tail_window: bool = False) -> FrameClipDataset:
+                 tail_window: bool = False,
+                 five_crop: bool = False) -> FrameClipDataset:
     """Factory covering ucf101 / hmdb51 / k400 split conventions.
 
     ucf101/hmdb51: ``{root}/{name}/{mode}_split{split:02d}.csv``
@@ -357,7 +358,11 @@ def make_dataset(dataset: str, data_root: str, mode: str,
     if unit_test:
         records = _subsample(records, min(1.0, 32 / max(len(records), 1)))
     names = {v: k for k, v in encode.items()}
-    window_stride = (3 * num_seq // 4 if dataset == "hmdb51"
+    # dense-test window stride: UCF always N/2; HMDB N/2 in the
+    # multi-crop branch but 3N/4 in the plain branch
+    # (eval/dataset_3d_lc.py:119,124 vs :249,254)
+    window_stride = (3 * num_seq // 4
+                     if dataset == "hmdb51" and not five_crop
                      else num_seq // 2)
     return FrameClipDataset(records, transform, num_seq=num_seq,
                             seq_len=seq_len, downsample=downsample,

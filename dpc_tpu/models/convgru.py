@@ -79,7 +79,10 @@ def apply_convgru(params: Params, x: jax.Array,
 
     impl: 'scan' (lax.scan over fused-gate steps) or 'pallas' (whole
     recurrence in one Pallas kernel per layer; kernel_size=1 only —
-    numerically identical incl. dropout, see ops/convgru_pallas.py).
+    numerically identical incl. dropout UNDER f32, see
+    ops/convgru_pallas.py; under ``dtype=bfloat16`` the scan path
+    computes gates in bf16 while the kernel computes in f32, so the
+    impls agree only to bf16 rounding there).
     """
     cells = params["cells"]
     num_layers = len(cells)

@@ -178,6 +178,41 @@ def init_batchnorm(ch: int, track_running_stats: bool) -> tuple[Params, Optional
     return params, state
 
 
+def _batch_stats(xf: jax.Array, axis_name: Optional[str]
+                 ) -> tuple[jax.Array, jax.Array, float]:
+    """Batch mean/var over all but the channel axis (+ the element count
+    behind them, for Bessel correction), cross-replica via ``pmean``.
+
+    Shared by ``batchnorm`` and ``fused_stem`` — the stats/pmean/count
+    semantics MUST stay identical between them or the default TPU stem
+    silently diverges from the reference BN it reformulates.  Two-pass
+    variance: numerically stable (E[x²]−E[x]² drifts visibly through the
+    50+ chained batch-stat BNs of the bottleneck nets)."""
+    reduce_axes = tuple(range(xf.ndim - 1))
+    mean = jnp.mean(xf, axis=reduce_axes)
+    if axis_name is not None:
+        mean = jax.lax.pmean(mean, axis_name)
+    var = jnp.mean(jnp.square(xf - mean), axis=reduce_axes)
+    if axis_name is not None:
+        var = jax.lax.pmean(var, axis_name)
+    count = float(np.prod([xf.shape[a] for a in reduce_axes]))
+    if axis_name is not None:
+        # cross-replica stats pool n_dev× the elements: Bessel
+        # correction must use the GLOBAL count
+        count *= jax.lax.axis_size(axis_name)
+    return mean, var, count
+
+
+def _ema_update(state: Params, mean: jax.Array, var: jax.Array,
+                count: float, momentum: float) -> Params:
+    """Running-stats EMA with torch's unbiased-variance convention.
+    ``count`` is static (mesh axis sizes are), so the correction is a
+    Python-side constant."""
+    unbiased = var * (count / max(count - 1.0, 1.0))
+    return {"mean": (1 - momentum) * state["mean"] + momentum * mean,
+            "var": (1 - momentum) * state["var"] + momentum * unbiased}
+
+
 def batchnorm(p: Params, state: Optional[Params], x: jax.Array, *,
               train: bool, momentum: float = 0.1, eps: float = 1e-5,
               axis_name: Optional[str] = None
@@ -194,29 +229,12 @@ def batchnorm(p: Params, state: Optional[Params], x: jax.Array, *,
     # promote (never downcast): bf16 activations normalise in f32, f64
     # parity tests stay f64
     xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
-    reduce_axes = tuple(range(xf.ndim - 1))
 
     if state is None or train:
-        mean = jnp.mean(xf, axis=reduce_axes)
-        if axis_name is not None:
-            mean = jax.lax.pmean(mean, axis_name)
-        # two-pass variance: numerically stable (E[x²]−E[x]² drifts visibly
-        # through the 50+ chained batch-stat BNs of the bottleneck nets)
-        var = jnp.mean(jnp.square(xf - mean), axis=reduce_axes)
-        if axis_name is not None:
-            var = jax.lax.pmean(var, axis_name)
+        mean, var, count = _batch_stats(xf, axis_name)
         new_state = state
         if state is not None and train:
-            count = float(np.prod([xf.shape[a] for a in reduce_axes]))
-            if axis_name is not None:
-                # cross-replica stats pool n_dev× the elements: Bessel
-                # correction must use the GLOBAL count
-                count *= jax.lax.axis_size(axis_name)
-            unbiased = var * (count / max(count - 1.0, 1.0))
-            new_state = {
-                "mean": (1 - momentum) * state["mean"] + momentum * mean,
-                "var": (1 - momentum) * state["var"] + momentum * unbiased,
-            }
+            new_state = _ema_update(state, mean, var, count, momentum)
     else:
         mean, var = state["mean"], state["var"]
         new_state = state
@@ -520,23 +538,13 @@ def fused_stem(conv_p: Params, bn_p: Params, x: jax.Array, *,
     new_state = state
     if state is None or train:
         xf = xs.astype(jnp.promote_types(xs.dtype, jnp.float32))
-        reduce_axes = tuple(range(xf.ndim - 1))
-        mean_p = jnp.mean(xf, axis=reduce_axes)
-        if axis_name is not None:
-            mean_p = jax.lax.pmean(mean_p, axis_name)
-        var = jnp.mean(jnp.square(xf - mean_p), axis=reduce_axes)
-        if axis_name is not None:
-            var = jax.lax.pmean(var, axis_name)
+        # shared stats/EMA core with batchnorm (the only fused_stem
+        # twist: the running mean is stored in the ORIGINAL sign
+        # convention, sgn·mean_p)
+        mean_p, var, count = _batch_stats(xf, axis_name)
         if state is not None and train:
-            count = float(np.prod([xf.shape[a] for a in reduce_axes]))
-            if axis_name is not None:
-                count *= jax.lax.axis_size(axis_name)  # global Bessel count
-            unbiased = var * (count / max(count - 1.0, 1.0))
-            new_state = {
-                "mean": (1 - momentum) * state["mean"]
-                        + momentum * (sgn * mean_p),
-                "var": (1 - momentum) * state["var"] + momentum * unbiased,
-            }
+            new_state = _ema_update(state, sgn * mean_p, var, count,
+                                    momentum)
         inv = jax.lax.rsqrt(var + eps)
         b = bn_p["bias"] - (sgn * mean_p) * (gamma * inv)   # β − mean·a
     else:  # eval with running stats: the affine is a constant

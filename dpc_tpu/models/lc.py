@@ -75,7 +75,8 @@ def apply_lc(params: Params, state: Params, x: jax.Array, *,
         kgru, kdrop = jax.random.split(key)
     outputs, _ = convgru.apply_convgru(
         params["agg"], feat, kernel_size=cfg.gru_kernel_size,
-        dropout=cfg.gru_dropout, train=train, key=kgru, dtype=dtype)
+        dropout=cfg.gru_dropout, train=train, key=kgru, dtype=dtype,
+        impl=cfg.gru_impl)
     context = outputs[:, -1]                       # [B, ls, ls, D]
     context = jnp.mean(context, axis=(1, 2))       # spatial avg-pool → [B, D]
 
@@ -84,7 +85,12 @@ def apply_lc(params: Params, state: Params, x: jax.Array, *,
     normed, new_state["final_bn"] = L.batchnorm(
         params["final_bn"], state["final_bn"], context, train=train,
         axis_name=axis_name)
+    out = normed
     if train and dropout > 0.0 and kdrop is not None:
-        normed = L.dropout(kdrop, normed, dropout, train=True)
-    logits = L.dense(params["final_fc"], normed)
-    return logits[:, None, :], context[:, None, :], new_state
+        out = L.dropout(kdrop, out, dropout, train=True)
+    logits = L.dense(params["final_fc"], out)
+    # the returned context is POST-final_bn, like the reference
+    # (eval/model_3d_lc.py:62-64 rebinds context = final_bn(...)): with
+    # TRAINED running stats the pre-BN features differ by the full BN
+    # affine (a fresh BN is ~identity, which once hid this)
+    return logits[:, None, :], normed[:, None, :], new_state

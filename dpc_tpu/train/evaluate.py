@@ -229,7 +229,8 @@ def get_dataset(cfg: ExperimentConfig, mode: str, unit_test: bool = False):
                             return_label=True, unit_test=unit_test,
                             val_subsample=d.val_subsample,
                             keep_short_test=d.test_keep_short,
-                            tail_window=d.test_tail_window)
+                            tail_window=d.test_tail_window,
+                            five_crop=five)
     if d.dataset == "synthetic":
         if mode == "test":
             tf = augment.Compose([
@@ -259,7 +260,8 @@ def get_dataset(cfg: ExperimentConfig, mode: str, unit_test: bool = False):
                         return_label=True, unit_test=unit_test,
                         val_subsample=d.val_subsample,
                         keep_short_test=d.test_keep_short,
-                        tail_window=d.test_tail_window)
+                        tail_window=d.test_tail_window,
+                        five_crop=five)
 
 
 def run_test(cfg: ExperimentConfig, params, bn_state, exp_dir: str,

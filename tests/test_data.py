@@ -65,6 +65,22 @@ class TestAugment:
         np.testing.assert_array_equal(left, src)
         np.testing.assert_array_equal(right, src[:, :, ::-1])
 
+    def test_random_rotation_consistent_expands(self):
+        out = A.RandomRotation(consistent=True, degree=15, p=1.0)(
+            _clip(), np.random.default_rng(3))
+        # expand=True: the canvas grows unless deg == 0; one shared shape
+        assert out.ndim == 4 and out.shape[0] == 4
+        assert out.shape[1] >= 64 and out.shape[2] >= 80
+
+    def test_random_rotation_inconsistent_uniform_canvas(self):
+        # per-frame degrees expand to different sizes; frames are centred
+        # on the common max canvas (PARITY.md #16 — the reference returns
+        # a ragged PIL list here; np.stack used to crash)
+        out = A.RandomRotation(consistent=False, degree=15, p=1.0)(
+            _clip(), np.random.default_rng(4))
+        assert out.ndim == 4 and out.shape[0] == 4
+        assert out.shape[1] >= 64 and out.shape[2] >= 80
+
     def test_random_gray_is_channel_split(self):
         out = A.RandomGray(consistent=True, p=1.0)(
             _clip(), np.random.default_rng(3))

@@ -179,6 +179,18 @@ def test_test_window_indices_match_reference(refmods, tree, which):
         np.testing.assert_array_equal(got_pixels, want, err_msg=rec.path)
 
 
+def test_five_crop_window_stride_matches_reference_branch(tree):
+    """The reference's MULTI-crop dense-test branch strides num_seq//2
+    for BOTH datasets (``eval/dataset_3d_lc.py:119,249``); only the
+    plain HMDB branch strides 3*num_seq//4 (``:254``).  The window SET
+    at a given stride is goldened above — this pins the stride CHOICE
+    for the five-crop recipe (hmdb previously reused the plain-branch
+    stride)."""
+    for which in ("ucf101", "hmdb51"):
+        ours = _make_ours(tree, which, "test", five_crop=True)
+        assert ours.window_stride == max(1, NUM_SEQ // 2), which
+
+
 def test_tail_window_flag_adds_exactly_the_tail(tree):
     """vlen=47/ds=2 -> 12 blocks; HMDB stride 2 covers starts 0..8, tail
     start 9 is only evaluated with the opt-in (PARITY.md #11)."""

@@ -36,6 +36,41 @@ def test_lc_forward_parity():
                                rtol=1e-3, atol=1e-4)
 
 
+def test_lc_context_is_post_bn_with_trained_stats():
+    """The returned context must be POST-final_bn like the reference
+    (eval/model_3d_lc.py:62-64).  A fresh BN is ~identity in eval mode,
+    so this only bites with TRAINED running stats — pin it with
+    non-trivial stats and affine, where pre- and post-BN features differ
+    by the full BN transform."""
+    cfg = DPCConfig(img_dim=64, num_seq=4, seq_len=5)
+    num_classes = 7
+    tmodel = ref.ref_lc(cfg.img_dim, cfg.num_seq, cfg.seq_len,
+                        cfg.network, num_classes)
+    with torch.no_grad():
+        bn = tmodel.final_bn
+        d = bn.num_features
+        bn.running_mean.copy_(torch.linspace(-1.0, 1.0, d))
+        bn.running_var.copy_(torch.linspace(0.5, 2.0, d))
+        bn.weight.copy_(torch.linspace(0.8, 1.2, d))
+        bn.bias.copy_(torch.linspace(-0.2, 0.2, d))
+    params, state = lc.init_lc(jax.random.PRNGKey(0), cfg, num_classes)
+    params = ref.load_into_jax(tmodel, params, tc.lc_key_map(params))
+    state = ref.load_into_jax(tmodel, state, tc.lc_state_key_map(state),
+                              expect="state")
+
+    x = np.random.default_rng(3).normal(
+        size=(2, cfg.num_seq, cfg.seq_len, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        tlogits, tcontext = tmodel(ref.to_torch_video(x))
+    jlogits, jcontext, _ = lc.apply_lc(params, state, jnp.asarray(x),
+                                       cfg=cfg, num_classes=num_classes,
+                                       train=False)
+    np.testing.assert_allclose(np.asarray(jlogits), tlogits.numpy(),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(jcontext), tcontext.numpy(),
+                               rtol=1e-3, atol=1e-4)
+
+
 def test_lc_transfer_from_dpc():
     """DPC-pretrain → LC transfer: backbone+agg weights carry over, head
     stays fresh (the neq_load_customized workflow)."""
@@ -94,10 +129,16 @@ def test_extract_context_matches_lc_trunk():
         size=(2, 3, 5, 64, 64, 3)).astype(np.float32))
     ctx = dpc_mod.extract_context(dpc_params, x, cfg=cfg, order="lc")
     ctx_pooled = np.asarray(ctx).mean(axis=(1, 2))
-    # LC context is the spatially-pooled last GRU output, pre-BN.  The DPC
-    # tree has no running stats (batch-stat BN), so compare against LC in
+    # LC's returned context is POST-final_bn (reference semantics, see
+    # test_lc_context_is_post_bn_with_trained_stats), so push the pooled
+    # trunk context through the same BN before comparing.  The DPC tree
+    # has no running stats (batch-stat BN), so compare against LC in
     # train mode (batch stats too), dropout off (no key).
+    from dpc_tpu.models import layers as L
+    expected, _ = L.batchnorm(lc_params["final_bn"], lc_state["final_bn"],
+                              jnp.asarray(ctx_pooled), train=True)
     _, lc_ctx, _ = lc.apply_lc(lc_params, lc_state, x, cfg=cfg,
                                num_classes=5, train=True, key=None)
-    np.testing.assert_allclose(ctx_pooled, np.asarray(lc_ctx)[:, 0],
+    np.testing.assert_allclose(np.asarray(expected),
+                               np.asarray(lc_ctx)[:, 0],
                                rtol=1e-4, atol=1e-5)
