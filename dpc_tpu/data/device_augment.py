@@ -460,6 +460,11 @@ def augment_batch(key: jax.Array, clips: jax.Array, img_dim: int,
         the resize to ``img_dim``, then flip.  Flip placement relative to
         a uniform random crop is distribution-identical (PARITY.md).
     """
+    if recipe not in ("sized_crop", "crop_resize"):
+        # validate like resolve_fold does: a typo'd recipe silently
+        # running the fixed-resize pipeline trains with wrong augmentation
+        raise ValueError(f"unknown device-augment recipe {recipe!r}; "
+                         "expected 'sized_crop' or 'crop_resize'")
     b, n, sl, h, w, c = clips.shape
     # uint8 until after the crop/resize (see finetune_augment_batch: the
     # full-geometry window is never converted at full resolution)

@@ -133,6 +133,33 @@ def ucf_split_to_dirs(split_file: str, frame_root: str) -> list[str]:
     return dirs
 
 
+def hmdb_split_to_dirs(splits_root: str, frame_root: str,
+                       which_split: int) -> tuple[list[str], list[str]]:
+    """Official HMDB51 per-class ``<action>_test_split<N>.txt`` files →
+    (train_dirs, test_dirs) (``write_csv.py:34-53``): each line is
+    ``video.avi <type>`` with type 1 = train, 2 = test, 0 = unused."""
+    pattern = os.path.join(splits_root, f"*_test_split{which_split}.txt")
+    split_files = sorted(glob.glob(pattern))
+    if not split_files:
+        raise FileNotFoundError(f"no HMDB split files match {pattern}")
+    suffix = len(f"_test_split{which_split}.txt")
+    train, test = [], []
+    for split_file in split_files:
+        action = os.path.basename(split_file)[:-suffix]
+        with open(split_file) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) < 2:
+                    continue
+                stem = os.path.splitext(parts[0])[0]
+                vpath = os.path.join(frame_root, action, stem)
+                if parts[1] == "1":
+                    train.append(vpath)
+                elif parts[1] == "2":
+                    test.append(vpath)
+    return train, test
+
+
 def class_dirs_to_dirs(frame_root: str) -> list[str]:
     """All video dirs under a class-dir frame tree (the K400 convention)."""
     return sorted(
@@ -171,11 +198,18 @@ def main(argv=None) -> None:
                     help="UCF/HMDB 256(240), K400 150 or 256")
     ex.add_argument("--workers", type=int, default=8)
 
-    cu = sub.add_parser("csv-ucf", help="official UCF/HMDB split lists -> CSVs")
+    cu = sub.add_parser("csv-ucf", help="official UCF split lists -> CSVs")
     cu.add_argument("split_dir", help="dir with trainlist0X/testlist0X.txt")
     cu.add_argument("frame_root")
     cu.add_argument("out_dir")
     cu.add_argument("--split", type=int, default=1)
+
+    ch = sub.add_parser("csv-hmdb", help="official HMDB51 per-class "
+                                         "*_test_split<N>.txt lists -> CSVs")
+    ch.add_argument("split_dir", help="dir with <action>_test_split<N>.txt")
+    ch.add_argument("frame_root")
+    ch.add_argument("out_dir")
+    ch.add_argument("--split", type=int, default=1)
 
     cc = sub.add_parser("csv-classdirs",
                         help="class-dir frame tree -> one CSV (K400 style)")
@@ -199,6 +233,12 @@ def main(argv=None) -> None:
                 print(f"skip missing {lst}")
                 continue
             dirs = ucf_split_to_dirs(lst, args.frame_root)
+            write_split_csv(dirs, os.path.join(
+                args.out_dir, f"{out}{args.split:02d}.csv"))
+    elif args.cmd == "csv-hmdb":
+        train, test = hmdb_split_to_dirs(args.split_dir, args.frame_root,
+                                         args.split)
+        for dirs, out in ((train, "train_split"), (test, "test_split")):
             write_split_csv(dirs, os.path.join(
                 args.out_dir, f"{out}{args.split:02d}.csv"))
     elif args.cmd == "csv-classdirs":

@@ -193,9 +193,12 @@ int dpc_jpeg_decode_resize(const uint8_t* data, int64_t len, uint8_t* out,
                    static_cast<size_t>(cinfo.output_scanline) * stride;
     jpeg_read_scanlines(&cinfo, &row, 1);
   }
+  // read before teardown: jpeg_destroy_decompress is allowed to scrub
+  // the struct (decode_scale_crop already saves it the same way)
+  const int comps = cinfo.output_components;
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
-  if (cinfo.output_components != 3) {
+  if (comps != 3) {
     // expand grayscale to RGB in place
     std::vector<uint8_t> rgb(static_cast<size_t>(h) * w * 3);
     for (size_t i = 0; i < static_cast<size_t>(h) * w; ++i) {

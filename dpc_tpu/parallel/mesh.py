@@ -123,22 +123,22 @@ def shard_batch(mesh: Mesh, batch):
 
 def init_multihost() -> tuple[int, int]:
     """Initialise the JAX distributed runtime (idempotent) and return
-    (process_index, process_count) — the loader's (shard_id, num_shards)."""
-    if jax.process_count() == 1:
+    (process_index, process_count) — the loader's (shard_id, num_shards).
+
+    Must not touch ``jax.process_count()`` (or any backend query) before
+    ``initialize()``: that initialises the XLA backends, after which
+    ``initialize()`` always raises — and a blanket except would then
+    silently degrade every host to an independent single-process run
+    (shard 0/1 of the data each, duplicate training, no error)."""
+    if not jax.distributed.is_initialized():
         try:
             jax.distributed.initialize()
-        except Exception:
-            pass  # single-process / already initialised
+        except ValueError:
+            # no coordinator address / automatic peer discovery in this
+            # environment: a genuine single-process run
+            pass
     return jax.process_index(), jax.process_count()
 
 
 def replicate(mesh: Mesh, tree):
     return jax.device_put(tree, replicated(mesh))
-
-
-def local_batch_size(mesh: Mesh, global_batch: int) -> int:
-    n = mesh.shape[DATA_AXIS]
-    if global_batch % n:
-        raise ValueError(f"global batch {global_batch} not divisible by "
-                         f"data-parallel size {n}")
-    return global_batch // n

@@ -53,7 +53,7 @@ def export(run_dir: str, out_path: str, *, model: str = "dpc",
             path = run_dir if not os.path.isdir(
                 os.path.join(run_dir, "model")) \
                 else os.path.join(run_dir, "model")
-            mgr = ckpt.make_manager(path)
+            mgr = ckpt.make_manager(path, read_only=True)
             raw = mgr.restore(mgr.latest_step(),
                               args=ocp.args.StandardRestore())
             if isinstance(raw, dict) and "bn_state" in raw:

@@ -63,7 +63,13 @@ def set_in_pytree(tree: Any, path: str, value: np.ndarray) -> None:
     for k in keys[:-1]:
         node = node[int(k)] if isinstance(node, (list, tuple)) else node[k]
     last = keys[-1]
-    if isinstance(node, (list, tuple)):
+    if isinstance(node, tuple):
+        # fail FAST: item-assignment into a tuple would raise anyway,
+        # but only after earlier leaves were overwritten — a partially
+        # mutated tree is worse than a clear error
+        raise TypeError(f"cannot assign into tuple node at {path!r}; "
+                        "param trees must use lists for sequences")
+    if isinstance(node, list):
         node[int(last)] = value
     else:
         node[last] = value

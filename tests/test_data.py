@@ -281,6 +281,19 @@ class TestPreprocess(object):
         enc = video_dataset.read_class_index(p)
         assert enc == {"ApplyLipstick": 0, "Basketball": 1}
 
+    def test_hmdb_split_lists(self, tmp_path):
+        # official per-class <action>_test_split<N>.txt: 1=train, 2=test,
+        # 0=unused (reference write_csv.py:34-53)
+        sd = tmp_path / "splits"
+        sd.mkdir()
+        (sd / "brush_hair_test_split1.txt").write_text(
+            "a.avi 1 \nb.avi 2 \nc.avi 0 \n")
+        (sd / "wave_test_split1.txt").write_text("d.avi 1 \n")
+        (sd / "wave_test_split2.txt").write_text("e.avi 1 \n")  # other split
+        train, test = preprocess.hmdb_split_to_dirs(str(sd), "/fr", 1)
+        assert train == ["/fr/brush_hair/a", "/fr/wave/d"]
+        assert test == ["/fr/brush_hair/b"]
+
 
 class TestFrameDataset:
     def _make_tree(self, tmp_path, n_videos=3, n_frames=30):

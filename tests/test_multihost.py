@@ -20,6 +20,22 @@ def _free_port() -> str:
         s.bind(("localhost", 0))
         return str(s.getsockname()[1])
 
+
+def test_init_multihost_single_process_fallback():
+    """init_multihost on a host with no coordinator/cluster env must
+    return (0, 1) — and must NOT query the backend before initialize()
+    (that used to make initialize() always raise, with a blanket except
+    silently degrading real multihost runs to duplicates)."""
+    code = ("import jax; jax.config.update('jax_platforms', 'cpu');\n"
+            "from dpc_tpu.parallel import mesh\n"
+            "print('RESULT', mesh.init_multihost())\n")
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        env=dict(os.environ, PYTHONPATH="/root/repo:/root/.axon_site"),
+        cwd="/root/repo", timeout=300)
+    assert "RESULT (0, 1)" in out.stdout, out.stdout + out.stderr
+
+
 WORKER = r"""
 import os, sys, json
 proc_id = int(sys.argv[1])
