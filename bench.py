@@ -47,9 +47,13 @@ def _backend_reachable(timeout_s: int = 300) -> bool:
 
 def main() -> None:
     # only the tunnelled axon backend has the hang failure mode; local
-    # TPU/CPU platforms initialize in-process without the double-init tax
-    if ("axon" in os.environ.get("JAX_PLATFORMS", "")
-            and not _backend_reachable()):
+    # TPU/CPU platforms initialize in-process without the double-init tax.
+    # Check the live jax config, not just the env var: this box's
+    # sitecustomize re-pins jax_platforms PROGRAMMATICALLY at interpreter
+    # start, so the backend can be axon with JAX_PLATFORMS unset
+    platforms = (os.environ.get("JAX_PLATFORMS", "")
+                 + (jax.config.jax_platforms or ""))
+    if "axon" in platforms and not _backend_reachable():
         # keep the one-JSON-line contract even when the tunnel is dead
         print(json.dumps({
             "metric": "clips/sec/chip", "value": 0.0, "unit": "clips/s",

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import dataclasses
 import json
-import math
 from typing import Any, Sequence
 
 
@@ -45,17 +44,21 @@ class DPCConfig:
     def last_duration(self) -> int:
         """Temporal extent of the backbone output (stride-4 in time).
 
-        Reference: ``dpc/model_3d.py:24``.
+        Reference: ``dpc/model_3d.py:24``; single source of truth in
+        ``core/shapes.py`` (device-free).
         """
-        return int(math.ceil(self.seq_len / 4))
+        from dpc_tpu.core import shapes
+        return shapes.last_duration(self.seq_len)
 
     @property
     def last_size(self) -> int:
         """Spatial extent of the backbone output (stride-32 in space).
 
-        Reference: ``dpc/model_3d.py:25``.
+        Reference: ``dpc/model_3d.py:25``; single source of truth in
+        ``core/shapes.py`` (device-free).
         """
-        return int(math.ceil(self.img_dim / 32))
+        from dpc_tpu.core import shapes
+        return shapes.last_size(self.img_dim)
 
     @property
     def sq(self) -> int:
@@ -213,13 +216,14 @@ class ExperimentConfig:
     @classmethod
     def from_json(cls, text: str) -> "ExperimentConfig":
         raw = json.loads(text)
+        ev = dict(raw.get("eval", {}))
+        if "lr_milestones" in ev:  # JSON lists -> the dataclass's tuple
+            ev["lr_milestones"] = tuple(ev["lr_milestones"])
         return cls(
             model=DPCConfig(**raw.get("model", {})),
             data=DataConfig(**raw.get("data", {})),
             train=TrainConfig(**raw.get("train", {})),
-            eval=EvalConfig(**{**raw.get("eval", {}),
-                               **({"lr_milestones": tuple(raw["eval"]["lr_milestones"])}
-                                  if "eval" in raw and "lr_milestones" in raw["eval"] else {})}),
+            eval=EvalConfig(**ev),
         )
 
 

@@ -72,7 +72,11 @@ def sample_clip_start(rng: np.random.Generator, vlen: int, num_seq: int,
     """Uniform random clip start, or None if the video is too short.
 
     Reference ``idx_sampler`` (``dpc/dataset_3d.py:88-95``) draws
-    ``start ∈ [0, vlen - span]``.
+    ``start ∈ [0, vlen − span − 1]`` — ``np.random.choice(range(n))`` is
+    end-EXCLUSIVE, and a video of exactly span length returns None, like
+    the reference's vlen−span ≤ 0 drop.  (``rng.integers`` below is also
+    end-exclusive; "fixing" either to include the endpoint would break
+    parity with the reference sampler.)
     """
     span = clip_span(num_seq, seq_len, downsample)
     if vlen - span <= 0:

@@ -86,7 +86,13 @@ class SyntheticVideoDataset:
                 self.downsample, self.window_stride,
                 tail_window=self.tail_window)
             nw = windows.shape[0]
-            frames = self._render_frames(index, windows.reshape(-1))
+            # overlapping windows (stride num_seq//2) share ~half their
+            # frames: render each unique frame once and gather — exact
+            # (per-frame rendering is a pure function of the per-video
+            # params and t; same dedupe FrameClipDataset does for decode)
+            flat = windows.reshape(-1)
+            uniq, inv = np.unique(flat, return_inverse=True)
+            frames = self._render_frames(index, uniq)[inv]
             clip = self.transform(frames, rng)
             h, w, c = clip.shape[-3:]
             # multi-crop transforms (FiveCrop) return [k, T, h, w, c]:

@@ -52,7 +52,9 @@ def timeit(fn, *args) -> float:
 
 
 def main() -> None:
-    cfg = DPCConfig(compute_dtype="bfloat16", gru_impl="pallas")
+    # match bench.py's stock-flag kernel choices (scan GRU, auto NCE) so
+    # full_step here is the same program the headline number times
+    cfg = DPCConfig(compute_dtype="bfloat16")
     dtype = dtype_of(cfg.compute_dtype)
     key = jax.random.PRNGKey(0)
     params = dpc.init_dpc(key, cfg)
@@ -68,8 +70,10 @@ def main() -> None:
     results: dict[str, float] = {}
 
     # ---- full train step (bench.py reference point) ----
+    # donate=False (unlike bench.py): timeit re-feeds the SAME state
+    # every iteration, so its buffers must survive the call
     tcfg = TrainConfig(batch_size=BATCH, lr=1e-3, wd=1e-5,
-                       negatives="local", donate=False, fused_nce=True)
+                       negatives="local", donate=False)
     mesh = meshlib.make_mesh(1)
     tx = optim.pretrain_optimizer(params, tcfg.lr, tcfg.wd)
     state = meshlib.replicate(mesh, pretrain_step.TrainState(
@@ -77,16 +81,26 @@ def main() -> None:
     step = pretrain_step.make_pretrain_step(cfg, tcfg, mesh, tx)
     xb = meshlib.shard_batch(mesh, x_batch)
     k2 = jax.random.PRNGKey(2)
+    # scalarize the FULL (state, metrics) output: summing only the
+    # metrics would leave the new TrainState unconsumed, and XLA then
+    # dead-code-eliminates the entire backward + Adam update — "full
+    # step" silently times forward-only (the params/opt reduction this
+    # adds is noise next to the step itself)
     results["full_step"] = timeit(
-        scalarize(lambda s, x, k: step(s, x, k)[1]), state, xb, k2)
+        scalarize(lambda s, x, k: step(s, x, k)), state, xb, k2)
 
     # ---- stage-cumulative backbone slices ----
     def backbone_prefix(n_stages: int):
         def f(p, x):
-            h = L.conv3d(p["stem"]["conv"], x, (1, 2, 2), (0, 3, 3), dtype)
-            h, _ = L.batchnorm(p["stem"]["bn"], None, h, train=True)
-            h = jax.nn.relu(h)
-            h = L.maxpool3d(h, (1, 3, 3), (1, 2, 2), (0, 1, 1))
+            # the PRODUCTION stem path (fused conv→BN→ReLU→pool, what
+            # apply_resnet2d3d's 'auto' resolves to on TPU) — the naive
+            # op sequence would over-attribute time to the stem
+            # (tools/probes/probe_breakdown_scaled.py measured the
+            # naive stem at 65.9 ms fwd+bwd where the whole 224² step
+            # is 142.3 ms)
+            h, _ = L.fused_stem(p["stem"]["conv"], p["stem"]["bn"], x,
+                                state=None, train=True, dtype=dtype,
+                                axis_name=None)
             for si in range(n_stages):
                 for bi, spec in enumerate(specs[si]):
                     h, _ = resnet2d3d._apply_block(
